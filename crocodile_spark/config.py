@@ -1,0 +1,60 @@
+"""Pipeline configuration.
+
+Mirrors the reference's configuration surface (Crocodile.__init__,
+reference crocodile/crocodile.py:32-51) re-expressed for a Spark pipeline,
+plus the blocking/scoring/clustering knobs the new engine adds per
+SURVEY.md section 7.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # ---- candidate/result shaping (reference crocodile/crocodile.py:45-51) ----
+    max_candidates_in_result: int = 5       # top-K kept per mention (W2)
+    candidate_retrieval_limit: int = 16     # max candidates per mention at blocking
+    top_n_for_type_freq: int = 3            # A1 top-N slice
+    type_freq_sample_fraction: float = 0.7  # A2: docs_to_process=0.7
+    type_freq_sample_seed: int = 42         # reference samples unseeded; we seed
+
+    # ---- blocking (new engine; SURVEY.md 7.1 stage 2) ----
+    minhash_num_hashes: int = 16            # MinHash signature length
+    minhash_band_size: int = 4              # rows per LSH band -> 4 bands
+    shingle_size: int = 3                   # char n-gram size (F5 law, n=3)
+    max_block_size: int = 64                # cap pairs per block: drop oversized keys
+    salt_buckets: int = 8                   # salt fan-out for hot blocking keys
+    min_token_length: int = 2               # drop 1-char tokens from blocking keys
+    # mention-signature token selection: a token is "distinctive" when its
+    # document frequency <= clamp(ceil(frac * N), floor, max_block_size) --
+    # relative at small corpora, bounded by the block cap at web scale
+    mention_df_fraction: float = 0.05
+    mention_df_floor: int = 3
+
+    # ---- scoring (stage 3) ----
+    score_threshold: float = 0.42           # heuristic-mean edge threshold (W1);
+                                            # sits mid-gap between observed
+                                            # same-entity minima (~0.48) and
+                                            # cross-entity maxima (~0.26)
+    logistic_threshold: float = 0.5         # logistic-scorer edge threshold (M1)
+
+    # ---- clustering (stage 4) ----
+    max_cc_iterations: int = 20             # large-star/small-star bound
+
+    # ---- execution ----
+    shuffle_partitions: int = 32
+    checkpoint_dir: str | None = None       # lakehouse root; None = in-memory only
+
+    # feature order: the 19-slot vector law of the reference
+    # (reference crocodile/feature.py:10-30 DEFAULT_FEATURES).
+    feature_names: tuple = field(
+        default=(
+            "ntoken_mention", "ntoken_entity", "length_mention", "length_entity",
+            "popularity", "ed_score", "jaccard_score", "jaccardNgram_score",
+            "desc", "descNgram", "bow_similarity", "kind", "NERtype",
+            "column_NERtype", "typeFreq1", "typeFreq2", "typeFreq3",
+            "typeFreq4", "typeFreq5",
+        )
+    )

@@ -1,0 +1,236 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md sections 1-4).
+
+Generates the ``web_pages`` input table (BASELINE.json input_hint shape), a
+``kb_entities`` candidate KB (FIXTURES.md section 2, mirroring the candidate
+record the reference consumes at crocodile/feature.py:87-153), and pairwise
+``gold_labels``. Everything is seeded -- same seed, same bytes.
+
+Surface-form variation exactly covers the reference's normalization law
+(crocodile/processors.py:106-134): case changes, '_' for spaces, extra
+whitespace, token reordering -- plus one-char typos to exercise the edit-
+distance feature, hot-key filler tokens to exercise block caps/salting, and
+exact-duplicate texts to exercise the sha256 row-hash path
+(crocodile/processors.py:112).
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+_CONSONANTS = "bcdfghjklmnpqrstvwz"
+_VOWELS = "aeiou"
+
+# Non-stopword filler vocabulary; a few of these are "hot" (appear in most
+# pages) to create giant blocks that the blocking stage must cap/salt.
+_HOT_FILLER = ["official", "website", "online", "page"]
+_COLD_FILLER = [
+    "archive", "report", "update", "review", "article", "profile", "summary",
+    "notes", "journal", "catalog", "bulletin", "digest", "record", "gazette",
+]
+
+_NERTYPES = ["LOCATION", "ORGANIZATION", "PERSON", "OTHER"]
+_KINDS = ["entity", "type", "disambiguation", "predicate"]
+_TYPE_POOL = [("T%d" % i, "type_%d" % i) for i in range(12)]
+
+
+def _word(rng: random.Random, n_syll: int = 2) -> str:
+    return "".join(
+        rng.choice(_CONSONANTS) + rng.choice(_VOWELS) for _ in range(n_syll)
+    )
+
+
+@dataclass
+class Corpus:
+    web_pages: pd.DataFrame       # url, warc_ts, html, text, lang, entity_id (gold col)
+    kb_entities: pd.DataFrame     # qid, name, description, types, popularity, kind, nertype
+    gold_pairs: pd.DataFrame      # url_a, url_b, label
+
+
+def _variant(rng: random.Random, name: str) -> str:
+    """One surface-form variant of an entity name, covering the F1/F2 law."""
+    toks = name.split()
+    kind = rng.randrange(6)
+    if kind == 0:                                   # case change
+        return name.upper() if rng.random() < 0.5 else name.title()
+    if kind == 1:                                   # underscores for spaces
+        return "_".join(toks)
+    if kind == 2:                                   # extra whitespace
+        return ("  " if rng.random() < 0.5 else " ").join(toks) + " "
+    if kind == 3:                                   # token reorder
+        t = toks[:]
+        rng.shuffle(t)
+        return " ".join(t)
+    if kind == 4:                                   # one-char typo (edit distance 1)
+        t = list(name)
+        i = rng.randrange(len(t))
+        if t[i] != " ":
+            t[i] = rng.choice(_CONSONANTS + _VOWELS)
+        return "".join(t)
+    return name                                     # verbatim
+
+
+def make_corpus(
+    n_entities: int = 60,
+    pages_per_entity: int = 8,
+    seed: int = 42,
+    dup_fraction: float = 0.05,
+    neg_pair_factor: int = 4,
+) -> Corpus:
+    """Plant ``n_entities`` clusters of ~``pages_per_entity`` pages each."""
+    rng = random.Random(seed)
+
+    # --- entities: 3-token distinctive names -----------------------------
+    entities = []
+    seen = set()
+    while len(entities) < n_entities:
+        name = " ".join(_word(rng, rng.choice([2, 3])) for _ in range(3))
+        if name in seen:
+            continue
+        seen.add(name)
+        eid = len(entities)
+        entities.append(
+            {
+                "entity_id": eid,
+                "qid": f"Q{1000 + eid}",
+                "name": name,
+                "description": f"{name} is a {rng.choice(_COLD_FILLER)} about "
+                f"{_word(rng)} {_word(rng)}",
+                "types": [
+                    {"id": t[0], "name": t[1]}
+                    for t in rng.sample(_TYPE_POOL, rng.choice([1, 2, 3]))
+                ],
+                "popularity": round(rng.random(), 4),
+                "kind": "entity" if rng.random() < 0.9 else rng.choice(_KINDS),
+                "nertype": rng.choice(_NERTYPES),
+            }
+        )
+
+    # --- pages -----------------------------------------------------------
+    pages = []
+    base_ts = pd.Timestamp("2025-06-01", tz="UTC")
+    for ent in entities:
+        slug = ent["name"].replace(" ", "-")
+        for p in range(pages_per_entity):
+            mention = _variant(rng, ent["name"])
+            filler = [rng.choice(_COLD_FILLER) for _ in range(rng.randrange(2, 6))]
+            if rng.random() < 0.7:  # hot tokens in ~70% of pages -> skewed blocks
+                filler += rng.sample(_HOT_FILLER, rng.randrange(1, 3))
+            rng.shuffle(filler)
+            k = rng.randrange(len(filler) + 1)
+            text = " ".join(filler[:k] + [mention] + filler[k:])
+            host = (
+                f"{slug}.example.com" if rng.random() < 0.5 else
+                f"crawl{rng.randrange(4)}.example.org"
+            )
+            url = f"https://{host}/{slug}/p{p}"
+            title = f"{mention} - {rng.choice(_COLD_FILLER)}"
+            html_doc = (
+                f"<html><head><title>{title}</title>"
+                f"<script>var t={p};</script><style>p{{margin:0}}</style></head>"
+                f"<body><!-- crawl --><p>{text}</p></body></html>"
+            )
+            pages.append(
+                {
+                    "url": url,
+                    "warc_ts": base_ts + pd.Timedelta(days=rng.randrange(30),
+                                                      seconds=rng.randrange(86400)),
+                    "html": html_doc.encode("utf-8"),
+                    "text": text,
+                    "lang": "en" if rng.random() < 0.9 else rng.choice(["de", "fr", "es"]),
+                    "entity_id": ent["entity_id"],
+                    "mention": mention,
+                }
+            )
+
+    # exact-duplicate texts under new urls (sha256 row-hash path)
+    n_dups = int(len(pages) * dup_fraction)
+    for i in range(n_dups):
+        src = pages[rng.randrange(len(pages))]
+        dup = dict(src)
+        dup["url"] = src["url"] + f"/dup{i}"
+        pages.append(dup)
+
+    rng.shuffle(pages)
+    web_pages = pd.DataFrame(pages)
+
+    # --- gold pairwise labels -------------------------------------------
+    by_entity: dict[int, list[str]] = {}
+    for p in pages:
+        by_entity.setdefault(p["entity_id"], []).append(p["url"])
+    pos = []
+    for eid, urls in by_entity.items():
+        urls = sorted(set(urls))
+        for a, b in itertools.combinations(urls, 2):
+            pos.append({"url_a": a, "url_b": b, "label": 1})
+    neg = []
+    n_neg = min(len(pos) * neg_pair_factor, 200_000)
+    all_urls = sorted({p["url"] for p in pages})
+    url_ent = {p["url"]: p["entity_id"] for p in pages}
+    while len(neg) < n_neg:
+        a, b = rng.sample(all_urls, 2)
+        if url_ent[a] == url_ent[b]:
+            continue
+        a, b = (a, b) if a < b else (b, a)
+        neg.append({"url_a": a, "url_b": b, "label": 0})
+    gold = pd.DataFrame(pos + neg).drop_duplicates(["url_a", "url_b"])
+
+    kb = pd.DataFrame(
+        [{k: e[k] for k in
+          ("qid", "name", "description", "types", "popularity", "kind", "nertype")}
+         for e in entities]
+    )
+    return Corpus(web_pages=web_pages, kb_entities=kb, gold_pairs=gold)
+
+
+def corpus_to_spark(spark, corpus: Corpus):
+    """Create the three Spark DataFrames with explicit schemas."""
+    from pyspark.sql import types as T
+
+    pages_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("entity_id", T.LongType(), True),
+            T.StructField("mention", T.StringType(), True),
+        ]
+    )
+    kb_schema = T.StructType(
+        [
+            T.StructField("qid", T.StringType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("description", T.StringType(), True),
+            T.StructField(
+                "types",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("id", T.StringType()),
+                            T.StructField("name", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("popularity", T.DoubleType(), True),
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("nertype", T.StringType(), True),
+        ]
+    )
+    gold_schema = T.StructType(
+        [
+            T.StructField("url_a", T.StringType(), False),
+            T.StructField("url_b", T.StringType(), False),
+            T.StructField("label", T.IntegerType(), False),
+        ]
+    )
+    wp = spark.createDataFrame(corpus.web_pages, schema=pages_schema)
+    kb = spark.createDataFrame(corpus.kb_entities, schema=kb_schema)
+    gold = spark.createDataFrame(corpus.gold_pairs, schema=gold_schema)
+    return wp, kb, gold

@@ -1,0 +1,197 @@
+"""Stage 2 -- salted multi-key blocking (SURVEY.md section 7.1 step 3).
+
+Replaces the reference's LamAPI candidate retrieval (crocodile/fetchers.py:
+51-121, operator S6) with self-contained blocking: candidate *pairs* are
+records sharing at least one blocking key, where the key families are
+
+  tok:<token>       distinctive (rare) normalized tokens -- the analog of
+                    crocodile's mention-keyed candidate join (J5,
+                    crocodile/processors.py:186-200): records sharing a
+                    normalized mention share a candidate set;
+  host:<host>       URL host (web-specific signal);
+  hash:<sha256>     exact-duplicate fast path (F3 row hash law,
+                    crocodile/processors.py:112);
+  mh<i>:<band>      MinHash LSH bands over char-3-gram shingles (F5 law).
+
+Scale design (10^12-doc posture):
+  * token document frequency is computed with a two-phase *salted*
+    aggregation (partial count on (token, salt) then final sum) so one hot
+    token never lands on one reducer;
+  * every key family is capped at ``max_block_size`` members -- an
+    oversized block both explodes pair count quadratically and marks a
+    non-discriminative key (a token with DF > cap cannot identify an
+    entity), so it is dropped, mirroring stopword removal at a corpus level;
+  * pair generation is a self-equi-join on the capped key, repartitioned by
+    key, with ``url_a < url_b`` and a distinct on the pair -- AQE skew-join
+    splits any residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crocodile_spark.config import PipelineConfig
+from crocodile_spark.functions.normalize import char_ngrams
+
+
+def salted_count(df: DataFrame, key: str, salt_buckets: int = 8) -> DataFrame:
+    """Two-phase skew-proof count: groupBy(key, salt) -> groupBy(key).
+
+    The salt column spreads one hot key over ``salt_buckets`` reducers in
+    the partial phase; the final phase aggregates ``salt_buckets`` small
+    rows per key. (Spark's hash aggregation already does map-side partials;
+    the explicit salt additionally bounds *reduce-side* key width, which is
+    what matters when a single key dominates a partition at 10^12 rows.)
+    """
+    salted = df.withColumn(
+        "_salt", (F.xxhash64(F.monotonically_increasing_id()) % salt_buckets)
+    )
+    partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
+    return partial.groupBy(key).agg(F.sum("_partial").alias("count"))
+
+
+def minhash_signature(col, num_hashes: int, shingle_size: int = 3):
+    """MinHash signature as array<bigint> -- native expressions only.
+
+    Hash family: xxhash64 with per-slot integer seeds over the distinct
+    char-``shingle_size``-grams of the string. Empty shingle set -> nulls
+    (filtered out by the band keys).
+    """
+    shingles = char_ngrams(col, shingle_size)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_keys(sig_col, num_hashes: int, band_size: int):
+    """LSH band keys 'mh<i>:<hash(band)>' from a signature column."""
+    n_bands = num_hashes // band_size
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"mh{b}:"),
+                F.xxhash64(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at(sig_col, b * band_size + j + 1).cast("string")
+                            for j in range(band_size)
+                        ],
+                    )
+                ).cast("string"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def mention_df_threshold(cfg: PipelineConfig, n_records: int) -> int:
+    """Distinctive-token DF cutoff: relative to corpus size at small N,
+    bounded above by the block cap at web scale (a token in more than
+    ``max_block_size`` records cannot form a usable block anyway)."""
+    import math
+
+    rel = math.ceil(cfg.mention_df_fraction * n_records)
+    return max(cfg.mention_df_floor, min(cfg.max_block_size, rel))
+
+
+def distinctive_tokens(
+    records: DataFrame, cfg: PipelineConfig, n_records: int | None = None
+) -> DataFrame:
+    """(url, token) pairs for tokens with document frequency <= threshold.
+
+    DF-capping is the corpus-level generalization of stopword removal:
+    frequent tokens carry no entity signal and only widen blocks. The
+    count is the stage's one driver-side scalar (a metric, not data).
+    """
+    if n_records is None:
+        n_records = records.count()
+    cutoff = mention_df_threshold(cfg, n_records)
+    tok = (
+        records.select("url", F.explode("tokens").alias("token"))
+        .where(F.length("token") >= cfg.min_token_length)
+    )
+    df_counts = salted_count(tok, "token", cfg.salt_buckets)
+    rare = df_counts.where(F.col("count") <= cutoff).select("token")
+    return tok.join(rare, "token", "inner").select("url", "token")
+
+
+def mention_signatures(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Per-record mention signature: sorted distinctive tokens + mention_norm.
+
+    This is the engine's analog of crocodile's normalized mention (F1 law,
+    crocodile/processors.py:134): the string key under which candidate sets
+    are shared (J5). Records with no distinctive token get an empty
+    signature (left join keeps them).
+    """
+    sig = (
+        distinctive_tokens(records, cfg)
+        .groupBy("url")
+        .agg(F.array_sort(F.collect_set("token")).alias("sig_tokens"))
+    )
+    return (
+        records.join(sig, "url", "left")
+        .withColumn(
+            "sig_tokens",
+            F.coalesce(F.col("sig_tokens"), F.array().cast("array<string>")),
+        )
+        .withColumn("mention_norm", F.concat_ws(" ", F.col("sig_tokens")))
+    )
+
+
+def blocking_keys(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Explode each record into its blocking keys: (key, url)."""
+    tok_keys = F.transform(F.col("sig_tokens"), lambda t: F.concat(F.lit("tok:"), t))
+    host_key = F.array(F.concat(F.lit("host:"), F.coalesce(F.col("host"), F.lit(""))))
+    hash_key = F.array(F.concat(F.lit("hash:"), F.col("row_hash")))
+    mh = band_keys(
+        minhash_signature(F.col("text_norm"), cfg.minhash_num_hashes, cfg.shingle_size),
+        cfg.minhash_num_hashes,
+        cfg.minhash_band_size,
+    )
+    keys = F.concat(tok_keys, host_key, hash_key, mh)
+    return (
+        sigs.select("url", F.explode(keys).alias("key"))
+        .where(F.length("key") > F.instr("key", ":"))  # drop empty-suffix keys
+        .distinct()
+    )
+
+
+def cap_blocks(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Drop keys whose member count exceeds the block cap."""
+    sizes = salted_count(keys, "key", cfg.salt_buckets)
+    ok = sizes.where(F.col("count") <= cfg.max_block_size).select("key")
+    return keys.join(ok, "key", "inner")
+
+
+def generate_pairs(capped_keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Self-join per key -> distinct unordered candidate pairs.
+
+    Repartition by key co-locates each block; url_a < url_b halves the
+    cross product and fixes pair orientation (deterministic output).
+    """
+    left = capped_keys.repartition(cfg.shuffle_partitions, "key")
+    right = capped_keys.withColumnRenamed("url", "url_b")
+    pairs = (
+        left.withColumnRenamed("url", "url_a")
+        .join(right, "key", "inner")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+        .distinct()
+    )
+    return pairs
+
+
+def block(records: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    """Full stage 2: returns (signatures, candidate_pairs)."""
+    sigs = mention_signatures(records, cfg)
+    keys = blocking_keys(sigs, cfg)
+    capped = cap_blocks(keys, cfg)
+    pairs = generate_pairs(capped, cfg)
+    return sigs, pairs

@@ -1,0 +1,132 @@
+"""Stage 3 -- pairwise scoring (SURVEY.md section 7.1 step 4).
+
+Re-expresses crocodile's feature algebra (X1, crocodile/feature.py:87-153)
+for record *pairs*: the features the reference received from LamAPI
+(ed_score, jaccard_score, jaccardNgram_score) are computed in-engine as
+native column expressions; the heuristic score is the reference's W1 law --
+the arithmetic mean of the available similarity features
+(crocodile/processors.py:325-343) -- and the ML re-ranker (M1,
+crocodile/ml.py:57-60) is replaced by a broadcast logistic scorer:
+sigmoid(w . f + b) as a single native expression.
+
+Scale notes: the pair table joins the (much smaller) signature table twice
+-- both joins are plain hash joins on url; no Python in the loop. The
+optional Jaro-Winkler column is an Arrow pandas UDF and is off by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crocodile_spark.config import PipelineConfig
+from crocodile_spark.functions.similarity import (
+    jaro_winkler_udf,
+    levenshtein_similarity,
+    monge_elkan_udf,
+    ngram_jaccard,
+    token_jaccard,
+)
+
+# ed/jaccard/jaccardNgram/desc are the reference's X1 slots; me_score is the
+# token-set-aware edit similarity (Monge-Elkan over Jaro-Winkler) standing in
+# for the reference's *fuzzy* retrieval pass (T5, processors.py:177-202).
+PAIR_FEATURES = ("ed_score", "jaccard_score", "jaccardNgram_score", "desc", "me_score")
+
+# Default logistic weights (trained offline on the synthetic gold corpus via
+# scripts/train_scorer.py; persisted here as plain literals -- the analog of
+# the reference shipping crocodile/models/default.h5, but broadcastable).
+DEFAULT_WEIGHTS = {
+    "ed_score": 4.0,
+    "jaccard_score": 4.0,
+    "jaccardNgram_score": 4.0,
+    "desc": 2.0,
+    "me_score": 6.0,
+}
+DEFAULT_BIAS = -9.0
+
+
+def attach_pair_features(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    use_jaro_winkler: bool = False,
+) -> DataFrame:
+    """pairs(url_a, url_b) x sigs -> feature columns per pair."""
+    a = sigs.select(
+        F.col("url").alias("url_a"),
+        F.col("mention_norm").alias("mention_a"),
+        F.col("sig_tokens").alias("sig_tokens_a"),
+        F.col("tokens").alias("tokens_a"),
+    )
+    b = sigs.select(
+        F.col("url").alias("url_b"),
+        F.col("mention_norm").alias("mention_b"),
+        F.col("sig_tokens").alias("sig_tokens_b"),
+        F.col("tokens").alias("tokens_b"),
+    )
+    df = pairs.join(a, "url_a", "inner").join(b, "url_b", "inner")
+    df = (
+        df.withColumn(
+            "ed_score", levenshtein_similarity(F.col("mention_a"), F.col("mention_b"))
+        )
+        .withColumn(
+            "jaccard_score",
+            token_jaccard(F.col("sig_tokens_a"), F.col("sig_tokens_b")),
+        )
+        .withColumn(
+            "jaccardNgram_score",
+            ngram_jaccard(F.col("mention_a"), F.col("mention_b")),
+        )
+        # 'desc' slot: full-token-set overlap = context similarity, the
+        # in-engine analog of the BoW feature (X2, processors.py:285-292)
+        .withColumn("desc", token_jaccard(F.col("tokens_a"), F.col("tokens_b")))
+        .withColumn(
+            "me_score", monge_elkan_udf(F.col("sig_tokens_a"), F.col("sig_tokens_b"))
+        )
+    )
+    if use_jaro_winkler:
+        df = df.withColumn(
+            "jw_score", jaro_winkler_udf(F.col("mention_a"), F.col("mention_b"))
+        )
+    return df
+
+
+def heuristic_score(df: DataFrame, features=PAIR_FEATURES) -> DataFrame:
+    """W1 law: arithmetic mean of the feature columns (0.0 if none)."""
+    expr = sum((F.col(c) for c in features), F.lit(0.0)) / float(len(features))
+    return df.withColumn("score", F.coalesce(expr, F.lit(0.0)))
+
+
+def logistic_score(
+    df: DataFrame,
+    weights: dict | None = None,
+    bias: float | None = None,
+    out: str = "match_prob",
+) -> DataFrame:
+    """M1 replacement: sigmoid(w . f + b) as one native expression.
+
+    ``weights`` is tiny and lives in the plan as literals -- the moral
+    equivalent of a broadcast variable, with zero pickling per task.
+    """
+    weights = DEFAULT_WEIGHTS if weights is None else weights
+    bias = DEFAULT_BIAS if bias is None else bias
+    z = sum(
+        (F.coalesce(F.col(c), F.lit(0.0)) * float(w) for c, w in weights.items()),
+        F.lit(float(bias)),
+    )
+    return df.withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def score(pairs: DataFrame, sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Full stage 3: features + W1 heuristic + logistic prob + edge flag."""
+    df = attach_pair_features(pairs, sigs)
+    df = heuristic_score(df)
+    df = logistic_score(df)
+    return df.select(
+        "url_a",
+        "url_b",
+        *PAIR_FEATURES,
+        "score",
+        "match_prob",
+        (F.col("score") >= cfg.score_threshold).alias("is_edge"),
+    )

@@ -1,0 +1,130 @@
+"""End-to-end record-linkage pipeline: normalize -> block -> score -> cluster.
+
+One linear DAG of four stages (SURVEY.md section 3.4), each a
+read -> transform -> write against the Lakehouse when a checkpoint root is
+configured (stage-level resume + per-partition lineage), or kept as pure
+DataFrames when not. The evaluation operator computes pairwise F1 against
+gold labels restricted to pairs sharing a blocking key -- the metric law of
+BASELINE.json (north_rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crocodile_spark.config import PipelineConfig
+from crocodile_spark.lakehouse import Lakehouse
+from crocodile_spark.operators.blocking import block
+from crocodile_spark.operators.clustering import cluster_records
+from crocodile_spark.operators.normalize_stage import normalize_pages
+from crocodile_spark.operators.scoring import score
+
+
+@dataclass
+class PipelineOutput:
+    records: DataFrame
+    signatures: DataFrame
+    pairs: DataFrame
+    scored: DataFrame
+    clusters: DataFrame
+    stage_stats: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    cfg: PipelineConfig | None = None,
+    use_html: bool = True,
+) -> PipelineOutput:
+    cfg = cfg or PipelineConfig()
+    stats: dict = {}
+
+    if cfg.checkpoint_dir:
+        lake = Lakehouse(spark, cfg.checkpoint_dir)
+
+        r = lake.run_stage("records", lambda: normalize_pages(web_pages, use_html))
+        records = r.df
+        s = lake.run_stage("signatures", lambda: block(records, cfg)[0])
+        sigs = s.df
+        p = lake.run_stage(
+            "pairs",
+            lambda: block(records, cfg)[1]
+            if not lake.is_done("signatures")
+            else _pairs_from_sigs(sigs, cfg),
+        )
+        pairs = p.df
+        sc = lake.run_stage("scored", lambda: score(pairs, sigs, cfg))
+        scored = sc.df
+        cl = lake.run_stage(
+            "clusters",
+            lambda: cluster_records(records, scored, max_iterations=cfg.max_cc_iterations),
+        )
+        clusters = cl.df
+        for st in (r, s, p, sc, cl):
+            stats[st.name] = {"rows": st.rows, "wall_s": st.wall_s, "resumed": st.resumed}
+    else:
+        records = normalize_pages(web_pages, use_html)
+        sigs, pairs = block(records, cfg)
+        # signatures and pairs feed two downstream consumers each: persist
+        sigs = sigs.persist()
+        pairs = pairs.persist()
+        scored = score(pairs, sigs, cfg)
+        scored = scored.persist()
+        clusters = cluster_records(records, scored, max_iterations=cfg.max_cc_iterations)
+
+    return PipelineOutput(records, sigs, pairs, scored, clusters, stats)
+
+
+def _pairs_from_sigs(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    from crocodile_spark.operators.blocking import blocking_keys, cap_blocks, generate_pairs
+
+    return generate_pairs(cap_blocks(blocking_keys(sigs, cfg), cfg), cfg)
+
+
+def evaluate_pairwise_f1(
+    clusters: DataFrame,
+    gold_pairs: DataFrame,
+    candidate_pairs: DataFrame,
+) -> dict:
+    """Pairwise F1 on labeled pairs sharing a blocking key (north_rule law).
+
+    A gold pair is in-scope iff it appears in the blocked candidate-pair set
+    (same-block restriction); prediction = both urls in the same cluster.
+    """
+    ca = clusters.select(
+        F.col("url").alias("url_a"), F.col("cluster_id").alias("cid_a")
+    )
+    cb = clusters.select(
+        F.col("url").alias("url_b"), F.col("cluster_id").alias("cid_b")
+    )
+    scoped = gold_pairs.join(candidate_pairs, ["url_a", "url_b"], "inner")
+    pred = (
+        scoped.join(ca, "url_a", "left")
+        .join(cb, "url_b", "left")
+        .withColumn(
+            "predicted",
+            (F.col("cid_a").isNotNull() & (F.col("cid_a") == F.col("cid_b"))).cast("int"),
+        )
+    )
+    agg = pred.agg(
+        F.sum((F.col("predicted") * F.col("label"))).alias("tp"),
+        F.sum((F.col("predicted") * (1 - F.col("label")))).alias("fp"),
+        F.sum(((1 - F.col("predicted")) * F.col("label"))).alias("fn"),
+        F.count(F.lit(1)).alias("n_scoped"),
+    ).collect()[0]
+    tp, fp, fn = int(agg["tp"] or 0), int(agg["fp"] or 0), int(agg["fn"] or 0)
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "n_scoped_pairs": int(agg["n_scoped"]),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }

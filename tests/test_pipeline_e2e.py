@@ -1,0 +1,53 @@
+"""End-to-end golden test (SURVEY.md section 5.2 layer 3): deterministic
+synthetic corpus with planted entity clusters -> full pipeline -> pairwise
+F1 >= 0.99 on labeled pairs sharing a blocking key (the BASELINE.json
+north_rule gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crocodile_spark.config import PipelineConfig
+from crocodile_spark.pipeline import evaluate_pairwise_f1, run_pipeline
+
+
+def test_pipeline_f1_gate(spark, corpus_dfs):
+    wp, _, gold = corpus_dfs
+    cfg = PipelineConfig(shuffle_partitions=4)
+    out = run_pipeline(spark, wp, cfg, use_html=True)
+    metrics = evaluate_pairwise_f1(out.clusters, gold, out.pairs)
+    assert metrics["n_scoped_pairs"] > 100, metrics
+    assert metrics["f1"] >= 0.99, metrics
+
+
+def test_pipeline_clusters_match_planted_entities(spark, corpus_dfs):
+    """Cluster purity: records of different entities must not co-cluster,
+    and most entities must land in a single cluster."""
+    wp, _, gold = corpus_dfs
+    cfg = PipelineConfig(shuffle_partitions=4)
+    out = run_pipeline(spark, wp, cfg, use_html=True)
+    joined = out.clusters.join(wp.select("url", "entity_id"), "url")
+    # purity: each cluster maps to exactly one entity
+    impure = (
+        joined.groupBy("cluster_id")
+        .agg(F.countDistinct("entity_id").alias("n_ents"))
+        .where(F.col("n_ents") > 1)
+        .count()
+    )
+    assert impure == 0
+    # fragmentation: planted entities should mostly resolve to one cluster
+    frag = (
+        joined.groupBy("entity_id")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+        .agg(F.avg("n_clusters").alias("avg"))
+        .collect()[0]["avg"]
+    )
+    assert frag < 1.5, f"avg clusters per entity {frag}"
+
+
+def test_pipeline_deterministic(spark, corpus_dfs):
+    wp, _, _ = corpus_dfs
+    cfg = PipelineConfig(shuffle_partitions=4)
+    a = run_pipeline(spark, wp, cfg, use_html=True).clusters
+    b = run_pipeline(spark, wp, cfg, use_html=True).clusters
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
