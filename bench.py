@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports the north-rule throughput numbers (candidate pairs/sec and
+records/sec through the full ER pipeline) inside "queries" as informational
+keys prefixed with "_".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.pipeline import run_pipeline
+    from crocodile_spark.plans.entry_queries import QUERIES
+    from crocodile_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        app_name="croco-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    # warm the JVM/codegen path once (excluded from timings)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    headline = [
+        "tpch_q1",
+        "f6_f7_pair_similarity",
+        "w2_topk_per_block",
+        "a1_type_frequency",
+        "a4_row_avg_confidence",
+        "j4_m3_training_labels",
+        "dedup_ngram_jaccard",
+        "doc_fingerprint",
+        "quality_score",
+        "cosine_topk",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # full ER pipeline (the flagship): time it and derive throughput
+    wp = entry._documents_as_web_pages(spark, sf_dir)
+    n_records = wp.count()
+    t0 = time.time()
+    out = run_pipeline(spark, wp, PipelineConfig(shuffle_partitions=cpus), use_html=False)
+    n_pairs = out.pairs.count()
+    out.clusters.write.format("noop").mode("overwrite").save()
+    er_wall = time.time() - t0
+    timings["er_pipeline"] = round(er_wall, 3)
+    timings["_er_records"] = n_records
+    timings["_er_candidate_pairs"] = n_pairs
+    timings["_er_pairs_per_sec"] = round(n_pairs / er_wall, 1) if er_wall > 0 else 0.0
+    timings["_er_records_per_sec"] = round(n_records / er_wall, 1) if er_wall > 0 else 0.0
+
+    total = round(sum(v for k, v in timings.items() if not k.startswith("_")), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (12 queries incl. full ER pipeline)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -145,22 +145,52 @@ def mention_signatures(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def minhash_band_keys(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """MinHash LSH band keys via explode -> aggregate (the scalable form).
+
+    Shingles are exploded once and each of the k hash slots is a plain
+    ``min`` aggregate (map-side partial aggregation applies), so the plan
+    carries k tiny expressions instead of k inlined copies of the shingle
+    generator -- the inlined form falls out of whole-stage codegen under
+    ``explode`` and goes quadratic in interpreted mode.
+    """
+    k, bsz = cfg.minhash_num_hashes, cfg.minhash_band_size
+    sh = records.select(
+        "url", F.explode(char_ngrams(F.col("text_norm"), cfg.shingle_size)).alias("sh")
+    )
+    sig = sh.groupBy("url").agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    )
+    bands = [
+        F.concat(
+            F.lit(f"mh{b}:"),
+            F.xxhash64(
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * bsz + j}").cast("string") for j in range(bsz)]
+                )
+            ).cast("string"),
+        )
+        for b in range(k // bsz)
+    ]
+    return sig.select("url", F.explode(F.array(*bands)).alias("key"))
+
+
 def blocking_keys(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Explode each record into its blocking keys: (key, url)."""
-    tok_keys = F.transform(F.col("sig_tokens"), lambda t: F.concat(F.lit("tok:"), t))
-    host_key = F.array(F.concat(F.lit("host:"), F.coalesce(F.col("host"), F.lit(""))))
-    hash_key = F.array(F.concat(F.lit("hash:"), F.col("row_hash")))
-    mh = band_keys(
-        minhash_signature(F.col("text_norm"), cfg.minhash_num_hashes, cfg.shingle_size),
-        cfg.minhash_num_hashes,
-        cfg.minhash_band_size,
+    """Union of the four key families as (url, key) rows."""
+    tok = sigs.select(
+        "url",
+        F.explode(
+            F.transform(F.col("sig_tokens"), lambda t: F.concat(F.lit("tok:"), t))
+        ).alias("key"),
     )
-    keys = F.concat(tok_keys, host_key, hash_key, mh)
-    return (
-        sigs.select("url", F.explode(keys).alias("key"))
-        .where(F.length("key") > F.instr("key", ":"))  # drop empty-suffix keys
-        .distinct()
+    host = sigs.where(
+        F.col("host").isNotNull() & (F.length("host") > 0)
+    ).select("url", F.concat(F.lit("host:"), F.col("host")).alias("key"))
+    hashk = sigs.select(
+        "url", F.concat(F.lit("hash:"), F.col("row_hash")).alias("key")
     )
+    mh = minhash_band_keys(sigs, cfg)
+    return tok.union(host).union(hashk).union(mh).distinct()
 
 
 def cap_blocks(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:

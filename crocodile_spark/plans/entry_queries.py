@@ -1,0 +1,748 @@
+"""Driver-contract queries: one per implemented operator family
+(SURVEY.md section 2), each with a DuckDB oracle over the same parquet.
+
+Parity rules (the driver hash-compares values after sorting columns by
+name):
+- every computed column is aliased identically on both sides;
+- every float is round(x, 6) on both sides;
+- hashing is portable via md5/sha256 hex strings (never engine-native
+  integer hashes);
+- token law = lower + split [^a-z0-9]+ + drop empties + distinct (the
+  frozen F4 law), spelled identically in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crocodile_spark import ENGLISH_STOPWORDS
+from crocodile_spark.functions.normalize import (
+    char_ngrams,
+    normalize_mention,
+    tokenize,
+)
+from crocodile_spark.functions.similarity import (
+    cosine_similarity,
+    levenshtein_similarity,
+    ngram_jaccard,
+    token_jaccard,
+)
+
+# ---------------------------------------------------------------------------
+# shared laws, spelled once for each engine
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_STOPWORDS))
+
+# F4 tokenize law in DuckDB SQL (distinct, non-empty, stopword-free)
+_SQL_TOKENS = (
+    "list_filter(list_distinct(string_split_regex(lower({col}), '[^a-z0-9]+')), "
+    "x -> len(x) > 0 AND NOT list_contains([" + _STOP_SQL + "], x))"
+)
+
+# F5 char-3-gram set in DuckDB SQL (as a correlated list comprehension)
+_SQL_NGRAMS = (
+    "list_distinct([substr({col}, i, 3) for i in range(1, greatest(len({col}) - 2, 0) + 1)])"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# F-law queries (scalar functions over documents)
+# ---------------------------------------------------------------------------
+
+
+def q_f1_normalize(spark, sf_dir):
+    """F1 mention normalization + F3 sha256 row hash (reference
+    crocodile/processors.py:112,134)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = normalize_mention(F.col("text"))
+    return d.select(
+        "doc_id",
+        norm.alias("mention_norm"),
+        F.sha2(norm, 256).alias("row_sha"),
+    )
+
+
+SQL_F1 = """
+SELECT doc_id,
+       lower(replace(trim(text), '_', ' ')) AS mention_norm,
+       sha256(lower(replace(trim(text), '_', ' '))) AS row_sha
+FROM documents
+"""
+
+
+def q_f4_tokenize(spark, sf_dir):
+    """F4 tokenize + stopword removal, set semantics (crocodile/utils.py:13-15)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_sort(tokenize(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", toks).alias("toks"),
+        F.size(toks).alias("n_tok"),
+    )
+
+
+SQL_F4 = f"""
+SELECT doc_id,
+       array_to_string(list_sort({_SQL_TOKENS.format(col="text")}), ' ') AS toks,
+       len({_SQL_TOKENS.format(col="text")}) AS n_tok
+FROM documents
+"""
+
+
+def q_f5_char_ngrams(spark, sf_dir):
+    """F5 char-3-gram set size (crocodile/utils.py:8-10)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(char_ngrams(F.lower(F.col("text")))).alias("n_ngrams"),
+    )
+
+
+SQL_F5 = f"""
+SELECT doc_id, len({_SQL_NGRAMS.format(col="lower(text)")}) AS n_ngrams
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# pair queries: blocking self-join + F6/F7/ed + W1 + W2 (documents)
+# ---------------------------------------------------------------------------
+
+_PAIR_SQL_CTE = f"""
+WITH docs AS (
+  SELECT doc_id, source, lang, lower(text) AS t,
+         {_SQL_TOKENS.format(col="text")} AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.source AS source,
+         a.t AS ta, b.t AS tb, a.toks AS ka, b.toks AS kb
+  FROM docs a JOIN docs b
+    ON a.source = b.source AND a.lang = b.lang
+   AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
+),
+feat AS (
+  SELECT doc_id_a, doc_id_b, source,
+    round(CASE WHEN len(list_distinct(list_concat(ka, kb))) > 0
+          THEN len(list_intersect(ka, kb)) * 1.0 / len(list_distinct(list_concat(ka, kb)))
+          ELSE 0.0 END, 6) AS jaccard_score,
+    round(CASE WHEN len(list_distinct(list_concat({_SQL_NGRAMS.format(col="ta")}, {_SQL_NGRAMS.format(col="tb")}))) > 0
+          THEN len(list_intersect({_SQL_NGRAMS.format(col="ta")}, {_SQL_NGRAMS.format(col="tb")})) * 1.0
+               / len(list_distinct(list_concat({_SQL_NGRAMS.format(col="ta")}, {_SQL_NGRAMS.format(col="tb")})))
+          ELSE 0.0 END, 6) AS jaccardNgram_score,
+    round(CASE WHEN greatest(len(ta), len(tb)) > 0
+          THEN 1.0 - levenshtein(ta, tb) * 1.0 / greatest(len(ta), len(tb))
+          ELSE 1.0 END, 6) AS ed_score
+  FROM pairs
+)
+"""
+
+
+def _pair_features(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.lower(F.col("text")).alias("t"),
+        tokenize(F.col("text")).alias("toks"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_id_a"),
+        "source",
+        "lang",
+        F.col("t").alias("ta"),
+        F.col("toks").alias("ka"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_id_b"),
+        "source",
+        "lang",
+        F.col("t").alias("tb"),
+        F.col("toks").alias("kb"),
+    )
+    pairs = a.join(b, ["source", "lang"], "inner").where(
+        (F.col("doc_id_a") < F.col("doc_id_b"))
+        & (F.col("doc_id_b") - F.col("doc_id_a") <= 25)
+    )
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        "source",
+        F.round(token_jaccard(F.col("ka"), F.col("kb")), 6).alias("jaccard_score"),
+        F.round(ngram_jaccard(F.col("ta"), F.col("tb")), 6).alias("jaccardNgram_score"),
+        F.round(levenshtein_similarity(F.col("ta"), F.col("tb")), 6).alias("ed_score"),
+    )
+
+
+def q_f6_f7_pair_similarity(spark, sf_dir):
+    """Blocking self-join (J5 analog) + F6 token Jaccard + F7 ngram Jaccard
+    + in-engine ed_score (X1 slots, crocodile/feature.py:75-85)."""
+    return _pair_features(spark, sf_dir)
+
+
+SQL_F6F7 = _PAIR_SQL_CTE + """
+SELECT doc_id_a, doc_id_b, source, jaccard_score, jaccardNgram_score, ed_score
+FROM feat
+"""
+
+
+def q_w1_heuristic_score(spark, sf_dir):
+    """W1 law: mean of available similarity features
+    (crocodile/processors.py:325-343)."""
+    f = _pair_features(spark, sf_dir)
+    score = F.round(
+        (F.col("jaccard_score") + F.col("jaccardNgram_score") + F.col("ed_score")) / 3.0,
+        6,
+    )
+    return f.select("doc_id_a", "doc_id_b", "source", score.alias("score"))
+
+
+SQL_W1 = _PAIR_SQL_CTE + """
+SELECT doc_id_a, doc_id_b, source,
+       round((jaccard_score + jaccardNgram_score + ed_score) / 3.0, 6) AS score
+FROM feat
+"""
+
+
+def q_w2_topk_per_block(spark, sf_dir):
+    """W2 rank+slice: top-5 pairs per block by score, deterministic
+    tie-break by ids (crocodile/processors.py:293-318; tie law per
+    SURVEY.md 7.4)."""
+    scored = q_w1_heuristic_score(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id_a"), F.asc("doc_id_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("source", "doc_id_a", "doc_id_b", "score", "rank")
+    )
+
+
+SQL_W2 = _PAIR_SQL_CTE + """
+, scored AS (
+  SELECT doc_id_a, doc_id_b, source,
+         round((jaccard_score + jaccardNgram_score + ed_score) / 3.0, 6) AS score
+  FROM feat
+), ranked AS (
+  SELECT source, doc_id_a, doc_id_b, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id_a ASC, doc_id_b ASC) AS rank
+  FROM scored
+)
+SELECT source, doc_id_a, doc_id_b, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation queries (A-family) over events
+# ---------------------------------------------------------------------------
+
+
+def q_a1_type_frequency(spark, sf_dir):
+    """A1 global type-frequency law (crocodile/feature.py:159-251): per
+    type, fraction of rows (users) whose top-3 candidates (events by value
+    desc, id tie-break) include that type; set-dedup per row; normalized by
+    total rows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    top3 = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    per_user_types = top3.select("user_id", "event_type").distinct()
+    n_users = e.select("user_id").distinct().count()
+    return (
+        per_user_types.groupBy("event_type")
+        .agg(F.round(F.count(F.lit(1)) / F.lit(float(n_users)), 6).alias("freq"))
+    )
+
+
+SQL_A1 = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+), per_user AS (
+  SELECT DISTINCT user_id, event_type FROM ranked WHERE rn <= 3
+)
+SELECT event_type,
+       round(count(*) * 1.0 / (SELECT count(DISTINCT user_id) FROM events), 6) AS freq
+FROM per_user GROUP BY event_type
+"""
+
+
+def q_a2_hash_sample(spark, sf_dir):
+    """A2 sampling law made deterministic and engine-portable: hash-sample
+    by md5 prefix (replaces the reference's unseeded $sample,
+    crocodile/feature.py:196-206)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "29"
+    ).select("doc_id", "source")
+
+
+SQL_A2 = """
+SELECT doc_id, source FROM documents
+WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < '29'
+"""
+
+
+def q_a3_status_counts(spark, sf_dir):
+    """A3 status counts (crocodile/result_fetcher.py:133-161): hash agg."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_A3 = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def q_a4_row_avg_confidence(spark, sf_dir):
+    """A4 row avg-confidence (result_sync.py:387-456): mean of per-group
+    top-1 scores within each row (user)."""
+    e = _t(spark, sf_dir, "events")
+    top1 = e.groupBy("user_id", "event_type").agg(F.max("value").alias("top1"))
+    return top1.groupBy("user_id").agg(
+        F.round(F.avg("top1"), 6).alias("avg_confidence")
+    )
+
+
+SQL_A4 = """
+WITH top1 AS (
+  SELECT user_id, event_type, max(value) AS top1
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, round(avg(top1), 6) AS avg_confidence FROM top1 GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# join / export / training queries (J/M-family) over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_j4_m3_training_labels(spark, sf_dir):
+    """J4 gold join + M3 label law (training/export_training.py:47-62):
+    target=1 iff candidate id equals the gold id (customer's max-price
+    order; ties -> min orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("gold_order", F.first("o_orderkey").over(w))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("o_orderkey") == F.col("gold_order")).cast("int").alias("target"),
+        )
+    )
+
+
+SQL_J4M3 = """
+WITH g AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS gold_order
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CASE WHEN o_orderkey = gold_order THEN 1 ELSE 0 END AS target
+FROM g
+"""
+
+
+def q_j6_export_top1(spark, sf_dir):
+    """J6 export join (crocodile/crocodile.py:448-475): flatten the top-1
+    candidate per row into {id,score} columns, joined to the input table.
+    Broadcast the small dimension side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    top1 = (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderkey").alias("best_order_id"),
+            F.round(F.col("o_totalprice"), 6).alias("best_order_price"),
+        )
+    )
+    return F.broadcast(c.select("c_custkey", "c_name")).join(
+        top1, "c_custkey", "inner"
+    )
+
+
+SQL_J6 = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT c.c_custkey, c.c_name, r.o_orderkey AS best_order_id,
+       round(r.o_totalprice, 6) AS best_order_price
+FROM customer c JOIN ranked r ON c.c_custkey = r.o_custkey AND r.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# scan / filter / set-op queries (S/P/T-family)
+# ---------------------------------------------------------------------------
+
+
+def q_s5_scan_filter_projection(spark, sf_dir):
+    """S5/P1/P2: projection + predicate reaching the parquet scan
+    (crocodile/crocodile.py:383-395 projection law)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+SQL_S5 = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 6) AS revenue
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def q_p4_valid_cell_filter(spark, sf_dir):
+    """P4 NE-cell validity law (crocodile/processors.py:130-136): non-null,
+    non-blank after trim, in-scope (lang='en')."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        F.col("text").isNotNull()
+        & (F.length(F.trim(F.col("text"))) > 0)
+        & (F.col("lang") == "en")
+    ).select("doc_id", "n_chars")
+
+
+SQL_P4 = """
+SELECT doc_id, n_chars FROM documents
+WHERE text IS NOT NULL AND len(trim(text)) > 0 AND lang = 'en'
+"""
+
+
+def q_t2_row_qid_union(spark, sf_dir):
+    """T2 distinct-union law (crocodile/processors.py:248-262): collect all
+    ids in a row group, dedup, drop empties -> per-source distinct token
+    count."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("source")
+        .agg(F.countDistinct("token").alias("n_distinct_tokens"))
+    )
+
+
+SQL_T2 = f"""
+SELECT source, count(DISTINCT token) AS n_distinct_tokens
+FROM (SELECT source, unnest({_SQL_TOKENS.format(col="text")}) AS token FROM documents)
+GROUP BY source
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Classic scan-heavy aggregate (pricing summary) -- the bench headline
+    for raw agg throughput."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup, fingerprinting, text analysis, ANN
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by sha256 of normalized text (F3 law): groups with >1
+    member are duplicate sets."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.sha2(F.trim(F.lower(F.col("text"))), 256)
+    return (
+        d.select(h.alias("text_sha"), "doc_id")
+        .groupBy("text_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(trim(lower(text))) AS text_sha, count(*) AS n_dups,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by char-3-gram Jaccard >= 0.5 within source blocks
+    (n-gram Jaccard dedup for training corpora)."""
+    f = _pair_features(spark, sf_dir)
+    return f.where(F.col("jaccardNgram_score") >= 0.5).select(
+        "doc_id_a", "doc_id_b", "jaccardNgram_score"
+    )
+
+
+SQL_DEDUP_NGRAM = _PAIR_SQL_CTE + """
+SELECT doc_id_a, doc_id_b, jaccardNgram_score
+FROM feat WHERE jaccardNgram_score >= 0.5
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: two portable MinHash slots = lexicographic
+    min of md5(seed || shingle) over the doc's char-3-gram set."""
+    d = _t(spark, sf_dir, "documents")
+    grams = char_ngrams(F.lower(F.col("text")))
+    fp = lambda seed: F.array_min(  # noqa: E731
+        F.transform(grams, lambda g: F.md5(F.concat(F.lit(seed), g)))
+    )
+    return d.select(
+        "doc_id", fp("s0:").alias("fp0"), fp("s1:").alias("fp1")
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       list_min([md5('s0:' || g) for g in {_SQL_NGRAMS.format(col="lower(text)")}]) AS fp0,
+       list_min([md5('s1:' || g) for g in {_SQL_NGRAMS.format(col="lower(text)")}]) AS fp1
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword hit ratio over the doc's token set
+    (n-gram/stopword heuristic for corpus filtering)."""
+    d = _t(spark, sf_dir, "documents")
+    all_toks = tokenize(F.col("text"), remove_stopwords=False)
+    stop = F.array(*[F.lit(s) for s in sorted(ENGLISH_STOPWORDS)])
+    ratio = F.when(
+        F.size(all_toks) > 0,
+        F.size(F.array_intersect(all_toks, stop)) / F.size(all_toks),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+_SQL_ALLTOKS = (
+    "list_filter(list_distinct(string_split_regex(lower(text), '[^a-z0-9]+')), "
+    "x -> len(x) > 0)"
+)
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_ALLTOKS} AS toks FROM documents
+), r AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> list_contains([{_STOP_SQL}], x))) * 1.0 / len(toks)
+              ELSE 0.0 END AS ratio
+  FROM t
+)
+SELECT doc_id, round(ratio, 6) AS stop_ratio,
+       CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+FROM r
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Text quality scoring: alpha ratio, whitespace-token mean length,
+    composite quality in [0,1]."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.length(F.col("text")).cast("double")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
+    ws_toks = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
+    ).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(ws_toks > 0, alpha / ws_toks).otherwise(F.lit(0.0))
+    quality = F.least(
+        F.lit(1.0), alpha_ratio * 0.8 + F.least(mean_tok_len / 10.0, F.lit(1.0)) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+SQL_QUALITY = """
+WITH q AS (
+  SELECT doc_id, len(text) * 1.0 AS n,
+         len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 AS alpha,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) * 1.0 AS ws_toks
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN ws_toks > 0 THEN alpha / ws_toks ELSE 0.0 END AS mean_tok_len
+  FROM q
+)
+SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       round(least(1.0, alpha_ratio * 0.8 + least(mean_tok_len / 10.0, 1.0) * 0.2), 6) AS quality
+FROM r
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex pieces
+    (letters runs | digit runs | single non-space symbol)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0))
+    bpe = F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+    return d.select("doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query vector (ANN baseline) over the
+    embeddings table; deterministic tie-break by candidate id."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    sims = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0
+), sims AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         round(list_cosine_similarity(
+             CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
+  FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, cand_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "f1_normalize": q_f1_normalize,
+    "f4_tokenize": q_f4_tokenize,
+    "f5_char_ngrams": q_f5_char_ngrams,
+    "f6_f7_pair_similarity": q_f6_f7_pair_similarity,
+    "w1_heuristic_score": q_w1_heuristic_score,
+    "w2_topk_per_block": q_w2_topk_per_block,
+    "a1_type_frequency": q_a1_type_frequency,
+    "a2_hash_sample": q_a2_hash_sample,
+    "a3_status_counts": q_a3_status_counts,
+    "a4_row_avg_confidence": q_a4_row_avg_confidence,
+    "j4_m3_training_labels": q_j4_m3_training_labels,
+    "j6_export_top1": q_j6_export_top1,
+    "s5_scan_filter_projection": q_s5_scan_filter_projection,
+    "p4_valid_cell_filter": q_p4_valid_cell_filter,
+    "t2_row_qid_union": q_t2_row_qid_union,
+    "tpch_q1": q_tpch_q1,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "cosine_topk": q_cosine_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "f1_normalize": SQL_F1,
+    "f4_tokenize": SQL_F4,
+    "f5_char_ngrams": SQL_F5,
+    "f6_f7_pair_similarity": SQL_F6F7,
+    "w1_heuristic_score": SQL_W1,
+    "w2_topk_per_block": SQL_W2,
+    "a1_type_frequency": SQL_A1,
+    "a2_hash_sample": SQL_A2,
+    "a3_status_counts": SQL_A3,
+    "a4_row_avg_confidence": SQL_A4,
+    "j4_m3_training_labels": SQL_J4M3,
+    "j6_export_top1": SQL_J6,
+    "s5_scan_filter_projection": SQL_S5,
+    "p4_valid_cell_filter": SQL_P4,
+    "t2_row_qid_union": SQL_T2,
+    "tpch_q1": SQL_TPCH_Q1,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "cosine_topk": SQL_COSINE_TOPK,
+}
