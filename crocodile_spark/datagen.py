@@ -187,6 +187,60 @@ def make_corpus(
     return Corpus(web_pages=web_pages, kb_entities=kb, gold_pairs=gold)
 
 
+def make_el_fixture(corpus: Corpus, n_rows: int = 30, seed: int = 43) -> pd.DataFrame:
+    """Crocodile-style tabular fixture (FIXTURES.md section 4): rows with
+    NE cells drawn from the corpus entities under surface-form variation,
+    plus gold qid labels -- the input_rows table for EL-parity tests."""
+    rng = random.Random(seed)
+    ents = corpus.kb_entities.to_dict("records")
+    rows = []
+    for row_id in range(n_rows):
+        e0 = ents[rng.randrange(len(ents))]
+        e1 = ents[rng.randrange(len(ents))]
+        data = [
+            _variant(rng, e0["name"]),
+            str(1950 + rng.randrange(70)),
+            _variant(rng, e1["name"]),
+            rng.choice(_COLD_FILLER),
+        ]
+        rows.append(
+            {
+                "client_id": "c1",
+                "dataset_name": "ds1",
+                "table_name": "t1",
+                "row_id": row_id,
+                "data": data,
+                "ne_cols": {"0": e0["nertype"], "2": e1["nertype"]},
+                "context_cols": [0, 1, 2, 3],
+                "correct_qids": {
+                    f"{row_id}-0": e0["qid"],
+                    f"{row_id}-2": e1["qid"],
+                },
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def el_fixture_to_spark(spark, pdf: pd.DataFrame):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("client_id", T.StringType(), False),
+            T.StructField("dataset_name", T.StringType(), False),
+            T.StructField("table_name", T.StringType(), False),
+            T.StructField("row_id", T.IntegerType(), False),
+            T.StructField("data", T.ArrayType(T.StringType()), True),
+            T.StructField("ne_cols", T.MapType(T.StringType(), T.StringType()), True),
+            T.StructField("context_cols", T.ArrayType(T.IntegerType()), True),
+            T.StructField(
+                "correct_qids", T.MapType(T.StringType(), T.StringType()), True
+            ),
+        ]
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def corpus_to_spark(spark, corpus: Corpus):
     """Create the three Spark DataFrames with explicit schemas."""
     from pyspark.sql import types as T

@@ -692,6 +692,134 @@ SELECT query_id, cand_id, sim, rank FROM ranked WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
+# F8/F9 maps, X3 typeFreq slots, W3 gold injection
+# ---------------------------------------------------------------------------
+
+
+def q_f8_f9_kind_map(spark, sf_dir):
+    """F8/F9 categorical->numeric map law (crocodile/feature.py:33-44,66-73):
+    when-chain with default."""
+    e = _t(spark, sf_dir, "events")
+    mapping = {"click": 1, "view": 2, "purchase": 3, "signup": 4}
+    expr = F.lit(5)
+    for k, v in mapping.items():
+        expr = F.when(F.col("event_type") == k, F.lit(v)).otherwise(expr)
+    return e.select("event_id", expr.alias("type_code")).distinct()
+
+
+SQL_F8F9 = """
+SELECT DISTINCT event_id,
+       CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                       WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                       ELSE 5 END AS type_code
+FROM events
+"""
+
+
+def q_x3_typefreq_slots(spark, sf_dir):
+    """X3 law (crocodile/ml.py:137-148): per row (user), the sorted-desc
+    global frequencies of its types, padded with 0.0 to five slots."""
+    e = _t(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    freqs = (
+        e.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg((F.count(F.lit(1)) / F.lit(float(n_users))).alias("freq"))
+    )
+    per_user = (
+        e.select("user_id", "event_type")
+        .distinct()
+        .join(F.broadcast(freqs), "event_type")
+        .groupBy("user_id")
+        .agg(F.reverse(F.array_sort(F.collect_list("freq"))).alias("fl"))
+    )
+    out = per_user
+    for i in range(5):
+        out = out.withColumn(
+            f"typeFreq{i + 1}",
+            F.round(F.coalesce(F.try_element_at("fl", F.lit(i + 1)), F.lit(0.0)), 6),
+        )
+    return out.select("user_id", *[f"typeFreq{i}" for i in range(1, 6)])
+
+
+SQL_X3 = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+f AS (
+  SELECT event_type,
+         count(*) * 1.0 / (SELECT count(DISTINCT user_id) FROM events) AS freq
+  FROM ut GROUP BY event_type
+),
+per_user AS (
+  SELECT ut.user_id, list_reverse_sort(list(f.freq)) AS fl
+  FROM ut JOIN f USING (event_type) GROUP BY ut.user_id
+)
+SELECT user_id,
+       round(coalesce(fl[1], 0.0), 6) AS typeFreq1,
+       round(coalesce(fl[2], 0.0), 6) AS typeFreq2,
+       round(coalesce(fl[3], 0.0), 6) AS typeFreq3,
+       round(coalesce(fl[4], 0.0), 6) AS typeFreq4,
+       round(coalesce(fl[5], 0.0), 6) AS typeFreq5
+FROM per_user
+"""
+
+
+def q_w3_gold_injection(spark, sf_dir):
+    """W3 gold-injection ordering (crocodile/processors.py:299-311): the
+    gold candidate sorts first in the training slice regardless of score;
+    top-3 slice per group."""
+    o = _t(spark, sf_dir, "orders")
+    gold = (F.col("o_orderkey") % 97 == 0).cast("int")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("is_gold"), F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("is_gold", gold)
+        .withColumn("train_rank", F.row_number().over(w))
+        .where(F.col("train_rank") <= 3)
+        .select("o_custkey", "o_orderkey", "is_gold", "train_rank")
+    )
+
+
+SQL_W3 = """
+WITH g AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS is_gold
+  FROM orders
+), r AS (
+  SELECT o_custkey, o_orderkey, is_gold,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY is_gold DESC, o_totalprice DESC, o_orderkey ASC)
+           AS train_rank
+  FROM g
+)
+SELECT o_custkey, o_orderkey, is_gold, train_rank FROM r WHERE train_rank <= 3
+"""
+
+
+def q_el_link(spark, sf_dir):
+    """Full crocodile-parity EL phase (rows-only: candidate generation +
+    19-feature X1 + W1/W2/W3 ranking) on the deterministic synthetic
+    fixture; returns the el_results slice (top-K per cell)."""
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.datagen import (
+        corpus_to_spark,
+        el_fixture_to_spark,
+        make_corpus,
+        make_el_fixture,
+    )
+    from crocodile_spark.operators.el import link_cells, top_k_results
+
+    corpus = make_corpus(n_entities=30, pages_per_entity=4, seed=42)
+    input_rows = el_fixture_to_spark(spark, make_el_fixture(corpus, n_rows=25, seed=43))
+    _, kb, _ = corpus_to_spark(spark, corpus)
+    ranked = link_cells(input_rows, kb, PipelineConfig())
+    return top_k_results(ranked, PipelineConfig()).select(
+        "row_id", "col_id", "qid", "rank", F.round("score", 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -719,6 +847,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "cosine_topk": q_cosine_topk,
+    "f8_f9_kind_map": q_f8_f9_kind_map,
+    "x3_typefreq_slots": q_x3_typefreq_slots,
+    "w3_gold_injection": q_w3_gold_injection,
+    "el_link": q_el_link,
 }
 
 ORACLES: dict[str, str] = {
@@ -745,4 +877,8 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "cosine_topk": SQL_COSINE_TOPK,
+    "f8_f9_kind_map": SQL_F8F9,
+    "x3_typefreq_slots": SQL_X3,
+    "w3_gold_injection": SQL_W3,
+    # el_link: iterative multi-stage EL on a synthetic fixture -> rows-only
 }
