@@ -135,6 +135,37 @@ def monge_elkan_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def monge_elkan_lev(a: Column | str, b: Column | str) -> Column:
+    """Native Monge-Elkan over Levenshtein similarity: for each token of
+    one set, the best edit-similarity match in the other, averaged;
+    symmetrized by max of both directions. 0.0 when either side is empty.
+
+    100% JVM expressions (nested higher-order functions around the native
+    ``levenshtein``): no Python in the hot path, unlike the Jaro-Winkler
+    variant. Token arrays are small (mention signatures), so the
+    |A| x |B| inner loop is cheap and codegen-friendly.
+    """
+    a, b = _col(a), _col(b)
+
+    def lev_sim(x: Column, y: Column) -> Column:
+        mx = F.greatest(F.length(x), F.length(y)).cast("double")
+        return F.when(
+            mx > 0, 1.0 - F.levenshtein(x, y).cast("double") / mx
+        ).otherwise(F.lit(1.0))
+
+    def one_way(src: Column, dst: Column) -> Column:
+        total = F.aggregate(
+            src,
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.array_max(F.transform(dst, lambda d: lev_sim(s, d))),
+        )
+        return total / F.size(src)
+
+    both = F.greatest(one_way(a, b), one_way(b, a))
+    return F.when((F.size(a) > 0) & (F.size(b) > 0), both).otherwise(F.lit(0.0))
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine over two array<numeric> columns -- native expressions only.
 

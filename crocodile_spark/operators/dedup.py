@@ -1,0 +1,297 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all returning DataFrames (ids/pairs/cluster assignments):
+
+- exact_duplicates:     sha256 hash-groupBy (F3 law)
+- minhash_lsh_pairs:    shingle -> MinHash signature -> banded LSH buckets
+                        -> in-bucket pair join -> optional exact-Jaccard
+                        verification (classic MinHash+LSH)
+- simhash_pairs:        64-bit SimHash over token hashes; near-dup when
+                        Hamming distance <= k, found via 4-segment blocking
+                        (pigeonhole: <=3 differing bits -> one of 4
+                        16-bit segments is equal)
+- ngram_jaccard_pairs:  char-3-gram Jaccard over blocked pairs
+- embedding_pairs:      cosine near-dup over an embedding column via
+                        random-hyperplane LSH bucketing
+
+Scale posture: every family is explode -> aggregate/join on a bounded key
+(block caps where a key can be hot); no driver-side loops, no UDF except
+none at all -- everything here is native expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crocodile_spark.config import PipelineConfig
+from crocodile_spark.functions.normalize import char_ngrams, tokenize
+from crocodile_spark.functions.similarity import cosine_similarity, token_jaccard
+from crocodile_spark.operators.blocking import salted_count
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: groups of identical (trimmed, lowercased) texts.
+
+    Returns (text_sha, n_dups, keep_id) for groups with >1 member; the
+    deterministic survivor is the minimum id.
+    """
+    h = F.sha2(F.trim(F.lower(F.col(text_col))), 256)
+    return (
+        df.select(h.alias("text_sha"), F.col(id_col).alias("id"))
+        .groupBy("text_sha")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("id").alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signature_agg(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, mh0..mhk-1) via explode->aggregate (the codegen-safe form)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_ngrams(F.lower(F.col(text_col)), shingle_size)).alias("sh"),
+    )
+    return sh.groupBy("id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_size: int = 3,
+    jaccard_threshold: float | None = 0.7,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs, optionally verified.
+
+    Docs sharing any LSH band land in the same bucket; buckets above
+    ``max_bucket_size`` are dropped (degenerate content). When
+    ``jaccard_threshold`` is set, candidates are verified with the exact
+    char-shingle Jaccard and filtered.
+    """
+    sig = minhash_signature_agg(df, text_col, id_col, num_hashes, shingle_size)
+    bands = F.array(
+        *[
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.xxhash64(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh{b * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ],
+                    )
+                ).cast("string"),
+            )
+            for b in range(num_hashes // band_size)
+        ]
+    )
+    buckets = sig.select("id", F.explode(bands).alias("bucket"))
+    sizes = salted_count(buckets, "bucket")
+    ok = sizes.where(F.col("count") <= max_bucket_size).select("bucket")
+    buckets = buckets.join(ok, "bucket", "inner")
+    pairs = (
+        buckets.withColumnRenamed("id", "id_a")
+        .join(buckets.withColumnRenamed("id", "id_b"), "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if jaccard_threshold is None:
+        return pairs
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        char_ngrams(F.lower(F.col(text_col)), shingle_size).alias("grams"),
+    )
+    verified = (
+        pairs.join(grams.withColumnsRenamed({"id": "id_a", "grams": "ga"}), "id_a")
+        .join(grams.withColumnsRenamed({"id": "id_b", "grams": "gb"}), "id_b")
+        .withColumn("jaccard", token_jaccard(F.col("ga"), F.col("gb")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over the document's token set, native expressions.
+
+    Each token contributes its xxhash64 bit pattern; the fingerprint bit i
+    is 1 when more tokens have bit i set than unset. Explode->aggregate:
+    per bit, sum(+/-1) via shiftright/and.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*aggs)
+    fp = sum(
+        (
+            F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63
+                   else F.lit(-(1 << 63))).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """SimHash near-dup pairs: 4-segment pigeonhole blocking + exact
+    Hamming verification (<= max_hamming, which must be <= 3 for 4
+    segments to guarantee recall)."""
+    fp = simhash(df, text_col, id_col)
+    segs = F.array(
+        *[
+            F.concat(
+                F.lit(f"seg{s}:"),
+                F.shiftright(F.col("simhash"), s * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .cast("string"),
+            )
+            for s in range(4)
+        ]
+    )
+    buckets = fp.select("id", "simhash", F.explode(segs).alias("bucket"))
+    sizes = salted_count(buckets.select("id", "bucket"), "bucket")
+    ok = sizes.where(F.col("count") <= max_bucket_size).select("bucket")
+    buckets = buckets.join(ok, "bucket", "inner")
+    a = buckets.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "bucket"
+    )
+    b = buckets.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Char-n-gram Jaccard near-dup pairs within explicit blocks."""
+    d = df.select(
+        F.col(id_col).alias("id"),
+        *block_cols,
+        char_ngrams(F.lower(F.col(text_col)), n).alias("grams"),
+    )
+    a = d.select(F.col("id").alias("id_a"), *block_cols, F.col("grams").alias("ga"))
+    b = d.select(F.col("id").alias("id_b"), *block_cols, F.col("grams").alias("gb"))
+    return (
+        a.join(b, block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", token_jaccard(F.col("ga"), F.col("gb")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 42,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH.
+
+    Docs whose sign patterns agree on all ``num_planes`` hyperplanes share
+    a bucket; exact cosine verifies within buckets. Hyperplanes are seeded
+    numpy normals shipped as plan literals (broadcast-equivalent).
+    """
+    import numpy as np
+
+    dim_row = df.select(F.size(F.col(emb_col)).alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = dim_row["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    def sign_bit(p):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bucket = F.concat(*[sign_bit(planes[i]) for i in range(num_planes)])
+    d = df.withColumn("bucket", bucket).select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("v"), "bucket"
+    )
+    sizes = salted_count(d.select("id", "bucket"), "bucket")
+    ok = sizes.where(F.col("count") <= max_bucket_size).select("bucket")
+    d = d.join(ok, "bucket", "inner")
+    a = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize a deduplicated corpus: treat near-dup pairs as edges,
+    cluster transitively (large-star/small-star CC), keep the minimum id
+    per cluster."""
+    from crocodile_spark.operators.clustering import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    assign = connected_components(edges)
+    drop = assign.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -23,14 +23,15 @@ from crocodile_spark.config import PipelineConfig
 from crocodile_spark.functions.similarity import (
     jaro_winkler_udf,
     levenshtein_similarity,
-    monge_elkan_udf,
+    monge_elkan_lev,
     ngram_jaccard,
     token_jaccard,
 )
 
 # ed/jaccard/jaccardNgram/desc are the reference's X1 slots; me_score is the
-# token-set-aware edit similarity (Monge-Elkan over Jaro-Winkler) standing in
-# for the reference's *fuzzy* retrieval pass (T5, processors.py:177-202).
+# token-set-aware edit similarity (Monge-Elkan, native Levenshtein inner
+# loop) standing in for the reference's *fuzzy* retrieval pass (T5,
+# processors.py:177-202).
 PAIR_FEATURES = ("ed_score", "jaccard_score", "jaccardNgram_score", "desc", "me_score")
 
 # Default logistic weights (trained offline on the synthetic gold corpus via
@@ -81,7 +82,7 @@ def attach_pair_features(
         # in-engine analog of the BoW feature (X2, processors.py:285-292)
         .withColumn("desc", token_jaccard(F.col("tokens_a"), F.col("tokens_b")))
         .withColumn(
-            "me_score", monge_elkan_udf(F.col("sig_tokens_a"), F.col("sig_tokens_b"))
+            "me_score", monge_elkan_lev(F.col("sig_tokens_a"), F.col("sig_tokens_b"))
         )
     )
     if use_jaro_winkler:

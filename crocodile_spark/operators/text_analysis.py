@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting. All native
+expressions (no UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crocodile_spark import ENGLISH_STOPWORDS
+from crocodile_spark.functions.normalize import char_ngrams, tokenize
+
+# Tiny frozen per-language marker profiles (function words / diacritic
+# n-grams). An n-gram heuristic, not a model -- deterministic and
+# dependency-free. Extend per language as needed.
+LANGUAGE_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "des", "est", "que", "une", "dans", "pour"),
+    "es": ("el", "la", "los", "las", "es", "que", "una", "para", "con", "por"),
+}
+
+
+def language_scores(text_col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit ratio over the document's token set."""
+    toks = tokenize(text_col, remove_stopwords=False)
+    out = {}
+    for lang, markers in LANGUAGE_PROFILES.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.when(
+            F.size(toks) > 0,
+            F.size(F.array_intersect(toks, marker_arr)) / F.size(toks),
+        ).otherwise(F.lit(0.0))
+    return out
+
+
+def identify_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds pred_lang + lang_confidence: argmax of the marker ratios, with
+    'und' (undetermined) when no profile scores above zero."""
+    scores = language_scores(F.col(text_col))
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+          for lang, s in scores.items()]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return df.withColumn(
+        "pred_lang",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_confidence", best["score"])
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite quality score in [0,1]:
+    alpha ratio, mean token length, stopword ratio, whitespace-token count.
+    The blend mirrors published web-corpus quality filters (length,
+    punctuation, stopword density heuristics)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    ws_toks = F.size(
+        F.filter(F.split(t, r"\s+"), lambda x: F.length(x) > 0)
+    ).cast("double")
+    all_toks = tokenize(t, remove_stopwords=False)
+    stop = F.array(*[F.lit(s) for s in sorted(ENGLISH_STOPWORDS)])
+    stop_ratio = F.when(
+        F.size(all_toks) > 0,
+        F.size(F.array_intersect(all_toks, stop)) / F.size(all_toks),
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(ws_toks > 0, alpha / ws_toks).otherwise(F.lit(0.0))
+    length_score = F.least(ws_toks / 100.0, F.lit(1.0))
+    quality = F.least(
+        F.lit(1.0),
+        alpha_ratio * 0.5
+        + F.least(mean_tok_len / 10.0, F.lit(1.0)) * 0.2
+        + length_score * 0.2
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.1,
+    )
+    return (
+        df.withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("mean_tok_len", mean_tok_len)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("n_ws_tokens", ws_toks.cast("long"))
+        .withColumn("quality", quality)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish piece count (letter runs, digit
+    runs, single symbols) -- the cheap token-budget estimator."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: F.length(x) > 0))
+    bpe = F.regexp_count(F.lower(t), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+    return df.withColumn("n_ws_tokens", ws).withColumn("n_bpe_tokens", bpe)
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", num_slots: int = 4, shingle_size: int = 3
+) -> DataFrame:
+    """Document fingerprint: ``num_slots`` portable MinHash slots --
+    lexicographic min of md5(seed || shingle) per slot (engine-portable,
+    unlike integer xxhash). Equal fingerprints across all slots ~ near-
+    identical shingle sets."""
+    grams = char_ngrams(F.lower(F.col(text_col)), shingle_size)
+    for i in range(num_slots):
+        df = df.withColumn(
+            f"fp{i}",
+            F.array_min(F.transform(grams, lambda g, i=i: F.md5(F.concat(F.lit(f"s{i}:"), g)))),
+        )
+    return df

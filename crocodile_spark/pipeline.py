@@ -66,9 +66,9 @@ def run_pipeline(
         for st in (r, s, p, sc, cl):
             stats[st.name] = {"rows": st.rows, "wall_s": st.wall_s, "resumed": st.resumed}
     else:
-        records = normalize_pages(web_pages, use_html)
+        # every intermediate feeds >=2 downstream consumers: persist all
+        records = normalize_pages(web_pages, use_html).persist()
         sigs, pairs = block(records, cfg)
-        # signatures and pairs feed two downstream consumers each: persist
         sigs = sigs.persist()
         pairs = pairs.persist()
         scored = score(pairs, sigs, cfg)

@@ -797,6 +797,59 @@ SELECT o_custkey, o_orderkey, is_gold, train_rank FROM r WHERE train_rank <= 3
 """
 
 
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs over documents (rows-only: engine-native
+    64-bit hashing is not portable to the oracle)."""
+    from crocodile_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id").select(
+        "id", F.col("simhash").cast("string").alias("simhash_str")
+    )
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification
+    (rows-only; xxhash64 banding is engine-native)."""
+    from crocodile_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, jaccard_threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_ann_lsh_cosine(spark, sf_dir):
+    """Random-hyperplane LSH ANN top-5 (rows-only; seeded hyperplanes are
+    plan literals). Exact-oracle counterpart is cosine_topk."""
+    from crocodile_spark.operators.similarity_search import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
+    return lsh_topk(q, c, k=5).select(
+        "query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: mapInPandas feature extraction over opaque
+    binary payloads (deterministic fake decode; rows-only)."""
+    from crocodile_spark.operators.multimodal import (
+        extract_media_features,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=64, seed=42)
+    feats = extract_media_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha",
+        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+    )
+
+
 def q_el_link(spark, sf_dir):
     """Full crocodile-parity EL phase (rows-only: candidate generation +
     19-feature X1 + W1/W2/W3 ranking) on the deterministic synthetic
@@ -851,6 +904,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x3_typefreq_slots": q_x3_typefreq_slots,
     "w3_gold_injection": q_w3_gold_injection,
     "el_link": q_el_link,
+    "simhash_dedup": q_simhash_dedup,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "ann_lsh_cosine": q_ann_lsh_cosine,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
