@@ -80,9 +80,20 @@ def make_corpus(
     seed: int = 42,
     dup_fraction: float = 0.05,
     neg_pair_factor: int = 4,
+    filler_range: tuple[int, int] = (2, 6),
 ) -> Corpus:
-    """Plant ``n_entities`` clusters of ~``pages_per_entity`` pages each."""
+    """Plant ``n_entities`` clusters of ~``pages_per_entity`` pages each.
+
+    ``filler_range`` controls page length (filler tokens per page): the
+    default keeps unit tests fast; benchmarks pass web-realistic sizes
+    (e.g. (60, 180)) so stage compute dominates scheduling overhead. Long
+    pages draw filler from a wider synthetic vocabulary (more realistic
+    shingle diversity than the 14-word test vocab).
+    """
     rng = random.Random(seed)
+    cold_filler = list(_COLD_FILLER)
+    if filler_range[1] > 20:
+        cold_filler += [_word(rng, rng.choice([2, 3])) for _ in range(400)]
 
     # --- entities: 3-token distinctive names -----------------------------
     entities = []
@@ -117,7 +128,10 @@ def make_corpus(
         slug = ent["name"].replace(" ", "-")
         for p in range(pages_per_entity):
             mention = _variant(rng, ent["name"])
-            filler = [rng.choice(_COLD_FILLER) for _ in range(rng.randrange(2, 6))]
+            filler = [
+                rng.choice(cold_filler)
+                for _ in range(rng.randrange(filler_range[0], filler_range[1]))
+            ]
             if rng.random() < 0.7:  # hot tokens in ~70% of pages -> skewed blocks
                 filler += rng.sample(_HOT_FILLER, rng.randrange(1, 3))
             rng.shuffle(filler)

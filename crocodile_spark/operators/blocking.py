@@ -14,9 +14,10 @@ records sharing at least one blocking key, where the key families are
   mh<i>:<band>      MinHash LSH bands over char-3-gram shingles (F5 law).
 
 Scale design (10^12-doc posture):
-  * token document frequency is computed with a two-phase *salted*
-    aggregation (partial count on (token, salt) then final sum) so one hot
-    token never lands on one reducer;
+  * token document frequency is a single hash aggregation -- map-side
+    partial counts make COUNT skew-immune (a reducer receives at most one
+    partial row per map task per key); explicit salting (salted_count) is
+    reserved for non-constant-size aggregation state and skewed join keys;
   * every key family is capped at ``max_block_size`` members -- an
     oversized block both explodes pair count quadratically and marks a
     non-discriminative key (a token with DF > cap cannot identify an
@@ -36,19 +37,26 @@ from crocodile_spark.functions.normalize import char_ngrams
 
 
 def salted_count(df: DataFrame, key: str, salt_buckets: int = 8) -> DataFrame:
-    """Two-phase skew-proof count: groupBy(key, salt) -> groupBy(key).
+    """Two-phase salted count: groupBy(key, salt) -> groupBy(key).
 
-    The salt column spreads one hot key over ``salt_buckets`` reducers in
-    the partial phase; the final phase aggregates ``salt_buckets`` small
-    rows per key. (Spark's hash aggregation already does map-side partials;
-    the explicit salt additionally bounds *reduce-side* key width, which is
-    what matters when a single key dominates a partition at 10^12 rows.)
+    NOTE on when to use: for plain COUNT aggregations Spark's map-side
+    partial aggregation already bounds reduce-side width (each reducer
+    receives at most one partial row per map task per key), so the hot
+    path below uses a direct groupBy().count() -- one shuffle, skew-immune.
+    Salting is the tool for skewed aggregations whose partial state is
+    NOT constant-size (collect_list/set of a hot key) and for skewed join
+    keys; it is kept here, tested, for those cases.
     """
     salted = df.withColumn(
         "_salt", (F.xxhash64(F.monotonically_increasing_id()) % salt_buckets)
     )
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias("count"))
+
+
+def key_count(df: DataFrame, key: str) -> DataFrame:
+    """Per-key count; partial aggregation makes this skew-immune."""
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias("count"))
 
 
 def minhash_signature(col, num_hashes: int, shingle_size: int = 3):
@@ -117,7 +125,7 @@ def distinctive_tokens(
         records.select("url", F.explode("tokens").alias("token"))
         .where(F.length("token") >= cfg.min_token_length)
     )
-    df_counts = salted_count(tok, "token", cfg.salt_buckets)
+    df_counts = key_count(tok, "token")
     rare = df_counts.where(F.col("count") <= cutoff).select("token")
     return tok.join(rare, "token", "inner").select("url", "token")
 
@@ -190,12 +198,15 @@ def blocking_keys(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "url", F.concat(F.lit("hash:"), F.col("row_hash")).alias("key")
     )
     mh = minhash_band_keys(sigs, cfg)
-    return tok.union(host).union(hashk).union(mh).distinct()
+    # each family emits unique (url, key) rows by construction (sig_tokens
+    # is a set; host/hash are one row; band index is in the key prefix), so
+    # no dedup shuffle is needed here
+    return tok.union(host).union(hashk).union(mh)
 
 
 def cap_blocks(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Drop keys whose member count exceeds the block cap."""
-    sizes = salted_count(keys, "key", cfg.salt_buckets)
+    sizes = key_count(keys, "key")
     ok = sizes.where(F.col("count") <= cfg.max_block_size).select("key")
     return keys.join(ok, "key", "inner")
 
@@ -203,10 +214,12 @@ def cap_blocks(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def generate_pairs(capped_keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Self-join per key -> distinct unordered candidate pairs.
 
-    Repartition by key co-locates each block; url_a < url_b halves the
-    cross product and fixes pair orientation (deterministic output).
+    The equi-join itself hash-partitions both sides by key (no explicit
+    repartition needed); url_a < url_b halves the cross product and fixes
+    pair orientation (deterministic output); the final distinct collapses
+    pairs that co-occur under several keys.
     """
-    left = capped_keys.repartition(cfg.shuffle_partitions, "key")
+    left = capped_keys
     right = capped_keys.withColumnRenamed("url", "url_b")
     pairs = (
         left.withColumnRenamed("url", "url_a")

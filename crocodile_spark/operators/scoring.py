@@ -47,19 +47,47 @@ DEFAULT_WEIGHTS = {
 DEFAULT_BIAS = -9.0
 
 
+def load_trained_weights() -> tuple[dict, float] | None:
+    """Weights fitted by scripts/train_scorer.py, if present."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "models",
+        "logistic_weights.json",
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        payload = json.load(f)
+    return payload["weights"], float(payload["bias"])
+
+
 def attach_pair_features(
     pairs: DataFrame,
     sigs: DataFrame,
     use_jaro_winkler: bool = False,
+    broadcast_sigs: bool | None = None,
 ) -> DataFrame:
-    """pairs(url_a, url_b) x sigs -> feature columns per pair."""
-    a = sigs.select(
+    """pairs(url_a, url_b) x sigs -> feature columns per pair.
+
+    Join strategy: left to AQE by default -- it converts to broadcast-hash
+    at runtime when the signature side's actual size is under the
+    threshold, and splits skewed partitions otherwise (both enabled in the
+    session defaults). ``broadcast_sigs=True`` forces the hint (driver-side
+    broadcast build is single-threaded, so forcing it hurts scaling when
+    the join would have been fine).
+    """
+    proj = sigs.select("url", "mention_norm", "sig_tokens", "tokens")
+    side = F.broadcast(proj) if broadcast_sigs else proj
+    a = side.select(
         F.col("url").alias("url_a"),
         F.col("mention_norm").alias("mention_a"),
         F.col("sig_tokens").alias("sig_tokens_a"),
         F.col("tokens").alias("tokens_a"),
     )
-    b = sigs.select(
+    b = side.select(
         F.col("url").alias("url_b"),
         F.col("mention_norm").alias("mention_b"),
         F.col("sig_tokens").alias("sig_tokens_b"),
@@ -108,8 +136,16 @@ def logistic_score(
 
     ``weights`` is tiny and lives in the plan as literals -- the moral
     equivalent of a broadcast variable, with zero pickling per task.
+    Resolution order: explicit args > trained weights JSON > defaults.
     """
-    weights = DEFAULT_WEIGHTS if weights is None else weights
+    if weights is None:
+        trained = load_trained_weights()
+        if trained is not None:
+            t_w, t_b = trained
+            weights = t_w
+            bias = t_b if bias is None else bias
+        else:
+            weights = DEFAULT_WEIGHTS
     bias = DEFAULT_BIAS if bias is None else bias
     z = sum(
         (F.coalesce(F.col(c), F.lit(0.0)) * float(w) for c, w in weights.items()),

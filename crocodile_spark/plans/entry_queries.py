@@ -797,6 +797,210 @@ SELECT o_custkey, o_orderkey, is_gold, train_rank FROM r WHERE train_rank <= 3
 """
 
 
+def q_a5_column_type_summary(spark, sf_dir):
+    """A5 column-type summary law (backend result_sync.py:266-309): per
+    column (lang), normalized type (source) frequencies, clamped to [0,1],
+    filtered >= 0.01."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    out = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("freq", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .where(F.col("freq") >= 0.01)
+        .select("lang", "source", "freq")
+    )
+    return out
+
+
+SQL_A5 = """
+WITH c AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+), f AS (
+  SELECT lang, source, round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6) AS freq
+  FROM c
+)
+SELECT lang, source, freq FROM f WHERE freq >= 0.01
+"""
+
+
+def q_p6_p8_type_filters(spark, sf_dir):
+    """P6 frequency-threshold + P8 type include/exclude law
+    (crocodile_api.py:492-506): token-array overlap include, overlap
+    exclude."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"), remove_stopwords=False)
+    inc = F.array(F.lit("table"), F.lit("spark"))
+    exc = F.array(F.lit("stream"), F.lit("window"))
+    return d.withColumn("toks", toks).where(
+        F.arrays_overlap(F.col("toks"), inc) & ~F.arrays_overlap(F.col("toks"), exc)
+    ).select("doc_id", "source")
+
+
+SQL_P6P8 = f"""
+WITH t AS (SELECT doc_id, source, {_SQL_ALLTOKS} AS toks FROM documents)
+SELECT doc_id, source FROM t
+WHERE list_has_any(toks, ['table', 'spark'])
+  AND NOT list_has_any(toks, ['stream', 'window'])
+"""
+
+
+def q_p7_text_search(spark, sf_dir):
+    """P7 cell text search (crocodile_api.py:482-490): substring contains."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("text").contains("table value")).select("doc_id", "lang")
+
+
+SQL_P7 = """
+SELECT doc_id, lang FROM documents WHERE position('table value' IN text) > 0
+"""
+
+
+def q_w5_keyset_pagination(spark, sf_dir):
+    """W5 keyset pagination law (crocodile_api.py:215-303): page after a
+    (sort value, id) cursor, deterministic order, limit."""
+    o = _t(spark, sf_dir, "orders")
+    cur_price, cur_key = 50000.0, 0
+    page = (
+        o.where(
+            (F.col("o_totalprice") < cur_price)
+            | ((F.col("o_totalprice") == cur_price) & (F.col("o_orderkey") > cur_key))
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 6).alias("o_totalprice"))
+    )
+    return page
+
+
+SQL_W5 = """
+SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+FROM orders
+WHERE o_totalprice < 50000.0 OR (o_totalprice = 50000.0 AND o_orderkey > 0)
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def q_w6_confidence_sort(spark, sf_dir):
+    """W6 confidence sort (crocodile_api.py:1372-1425): rows ordered by
+    row-average top-1 confidence, top-20."""
+    e = _t(spark, sf_dir, "events")
+    top1 = e.groupBy("user_id", "event_type").agg(F.max("value").alias("top1"))
+    avg = top1.groupBy("user_id").agg(F.round(F.avg("top1"), 6).alias("avg_conf"))
+    return avg.orderBy(F.desc("avg_conf"), F.asc("user_id")).limit(20)
+
+
+SQL_W6 = """
+WITH top1 AS (
+  SELECT user_id, event_type, max(value) AS top1 FROM events GROUP BY 1, 2
+), a AS (
+  SELECT user_id, round(avg(top1), 6) AS avg_conf FROM top1 GROUP BY user_id
+)
+SELECT user_id, avg_conf FROM a ORDER BY avg_conf DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_t1_t3_array_except(spark, sf_dir):
+    """T1/T3 set-complement law (crocodile/crocodile.py:226-231,
+    fetchers.py:76-80): tokens minus a fixed exclusion set."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"), remove_stopwords=False)
+    hot = F.array(F.lit("table"), F.lit("value"), F.lit("data"))
+    kept = F.array_sort(F.array_except(toks, hot))
+    return d.select(
+        "doc_id",
+        F.size(kept).alias("n_kept"),
+        F.concat_ws(" ", kept).alias("kept"),
+    )
+
+
+SQL_T1T3 = f"""
+WITH t AS (SELECT doc_id, {_SQL_ALLTOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(list_filter(toks, x -> NOT list_contains(['table','value','data'], x))) AS n_kept,
+       array_to_string(list_sort(list_filter(toks, x -> NOT list_contains(['table','value','data'], x))), ' ') AS kept
+FROM t
+"""
+
+
+def q_f11_nan_scrub(spark, sf_dir):
+    """F11 NaN/Inf scrub law (backend utils.py:10-30): non-finite -> null,
+    then aggregate over the scrubbed column."""
+    e = _t(spark, sf_dir, "events")
+    scrubbed = F.when(
+        F.isnan(F.col("value"))
+        | (F.col("value") == float("inf"))
+        | (F.col("value") == float("-inf")),
+        F.lit(None),
+    ).otherwise(F.col("value"))
+    return (
+        e.withColumn("v", scrubbed)
+        .groupBy("event_type")
+        .agg(
+            F.count("v").alias("n_finite"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+        )
+    )
+
+
+SQL_F11 = """
+SELECT event_type,
+       count(CASE WHEN isfinite(value) THEN 1 END) AS n_finite,
+       round(sum(CASE WHEN isfinite(value) THEN value END), 4) AS sum_v
+FROM events GROUP BY event_type
+"""
+
+
+def q_j2_merge_upsert(spark, sf_dir):
+    """J2 cache merge-upsert law (crocodile/fetchers.py:93-106): new rows
+    win by key, cached rows survive otherwise -- the MERGE INTO emulation
+    (anti-join + union) used where Iceberg MERGE is unavailable."""
+    o = _t(spark, sf_dir, "orders")
+    cache = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("val")
+    )
+    new = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") + 1.0, 6).alias("val")
+    )
+    merged = new.unionByName(cache.join(new, "o_orderkey", "left_anti"))
+    return merged
+
+
+SQL_J2 = """
+WITH cache AS (
+  SELECT o_orderkey, round(o_totalprice, 6) AS val FROM orders WHERE o_orderkey % 3 = 0
+), new AS (
+  SELECT o_orderkey, round(o_totalprice + 1.0, 6) AS val FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT * FROM new
+UNION ALL
+SELECT c.* FROM cache c WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.o_orderkey = c.o_orderkey)
+"""
+
+
+def q_a6_progress_counters(spark, sf_dir):
+    """A6 progress counters (crocodile_api.py:1479-1516): conditional sums
+    by phase in one pass."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.sum((F.col("event_type") == "click").cast("int")).alias("n_click"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("n_purchase"),
+        F.sum(
+            (~F.col("event_type").isin("click", "purchase")).cast("int")
+        ).alias("n_other"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+SQL_A6 = """
+SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type NOT IN ('click','purchase') THEN 1 ELSE 0 END) AS n_other,
+       count(*) AS n_total
+FROM events
+"""
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs over documents (rows-only: engine-native
     64-bit hashing is not portable to the oracle)."""
@@ -904,6 +1108,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x3_typefreq_slots": q_x3_typefreq_slots,
     "w3_gold_injection": q_w3_gold_injection,
     "el_link": q_el_link,
+    "a5_column_type_summary": q_a5_column_type_summary,
+    "p6_p8_type_filters": q_p6_p8_type_filters,
+    "p7_text_search": q_p7_text_search,
+    "w5_keyset_pagination": q_w5_keyset_pagination,
+    "w6_confidence_sort": q_w6_confidence_sort,
+    "t1_t3_array_except": q_t1_t3_array_except,
+    "f11_nan_scrub": q_f11_nan_scrub,
+    "j2_merge_upsert": q_j2_merge_upsert,
+    "a6_progress_counters": q_a6_progress_counters,
     "simhash_dedup": q_simhash_dedup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "ann_lsh_cosine": q_ann_lsh_cosine,
@@ -937,5 +1150,15 @@ ORACLES: dict[str, str] = {
     "f8_f9_kind_map": SQL_F8F9,
     "x3_typefreq_slots": SQL_X3,
     "w3_gold_injection": SQL_W3,
-    # el_link: iterative multi-stage EL on a synthetic fixture -> rows-only
+    "a5_column_type_summary": SQL_A5,
+    "p6_p8_type_filters": SQL_P6P8,
+    "p7_text_search": SQL_P7,
+    "w5_keyset_pagination": SQL_W5,
+    "w6_confidence_sort": SQL_W6,
+    "t1_t3_array_except": SQL_T1T3,
+    "f11_nan_scrub": SQL_F11,
+    "j2_merge_upsert": SQL_J2,
+    "a6_progress_counters": SQL_A6,
+    # el_link / simhash / minhash-lsh / ann-lsh / multimodal: rows-only by
+    # design (iterative pipelines or engine-native hashing)
 }

@@ -59,6 +59,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
+    # Shuffle files on tmpfs when available: local-mode shuffles are
+    # disk-bound on the default /tmp block device. (On a real cluster the
+    # equivalent is fast local SSD / disaggregated shuffle service.)
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

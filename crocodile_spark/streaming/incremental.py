@@ -1,0 +1,66 @@
+"""Incremental normalize-stage ingest via Structured Streaming.
+
+``readStream`` over a web_pages directory -> the same frozen normalization
+laws as the batch stage (the transformation is stateless, row-local) ->
+``writeStream`` appending to the records table with exactly-once file-sink
+semantics (checkpointLocation). Event-time windowed counts over warc_ts
+(with a watermark for late crawls) feed the ingest-rate metrics table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crocodile_spark.operators.normalize_stage import normalize_pages
+
+WEB_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def normalize_stream(
+    spark: SparkSession, input_dir: str, use_html: bool = True
+) -> DataFrame:
+    """Streaming DataFrame of normalized records from a web_pages dir."""
+    stream = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    return normalize_pages(stream, use_html=use_html)
+
+
+def ingest_rate(stream_records: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Event-time ingest counts with a 2-hour watermark for late crawls."""
+    return (
+        stream_records.withWatermark("warc_ts", "2 hours")
+        .groupBy(F.window("warc_ts", window), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    use_html: bool = True,
+):
+    """Start the append-only ingest query (exactly-once via checkpoint)."""
+    records = normalize_stream(spark, input_dir, use_html=use_html)
+    return (
+        records.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

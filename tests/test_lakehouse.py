@@ -1,0 +1,62 @@
+"""Resume semantics (SURVEY.md section 5.2 layer 4): kill after stage 2 of
+4, restart, assert identical final output and no recomputation of done
+stages."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crocodile_spark.config import PipelineConfig
+from crocodile_spark.lakehouse import Lakehouse
+from crocodile_spark.pipeline import run_pipeline
+
+
+def test_stage_resume_and_kill_recovery(spark, corpus_dfs, tmp_path):
+    wp, _, _ = corpus_dfs
+    root = str(tmp_path / "lake")
+    cfg = PipelineConfig(shuffle_partitions=4, checkpoint_dir=root)
+
+    out1 = run_pipeline(spark, wp, cfg, use_html=True)
+    assert all(not s["resumed"] for s in out1.stage_stats.values())
+    clusters1 = {(r["url"], r["cluster_id"]) for r in out1.clusters.collect()}
+
+    # full resume: everything skipped
+    out2 = run_pipeline(spark, wp, cfg, use_html=True)
+    assert all(s["resumed"] for s in out2.stage_stats.values())
+
+    # kill between stage 3 and 4: invalidate the last two stages
+    lake = Lakehouse(spark, root)
+    lake.invalidate("scored")
+    lake.invalidate("clusters")
+    out3 = run_pipeline(spark, wp, cfg, use_html=True)
+    flags = {k: v["resumed"] for k, v in out3.stage_stats.items()}
+    assert flags == {
+        "records": True,
+        "signatures": True,
+        "pairs": True,
+        "scored": False,
+        "clusters": False,
+    }
+    clusters3 = {(r["url"], r["cluster_id"]) for r in out3.clusters.collect()}
+    assert clusters1 == clusters3  # identical output after mid-stage resume
+
+
+def test_lineage_rows_written(spark, corpus_dfs, tmp_path):
+    wp, _, _ = corpus_dfs
+    root = str(tmp_path / "lake2")
+    cfg = PipelineConfig(shuffle_partitions=4, checkpoint_dir=root)
+    run_pipeline(spark, wp, cfg, use_html=True)
+    lin = Lakehouse(spark, root).lineage()
+    assert lin is not None
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages == {"records", "signatures", "pairs", "scored", "clusters"}
+    # per-partition rows with counts and wall time, all DONE
+    row = lin.first()
+    assert set(lin.columns) >= {"partition_id", "rows", "stage", "wall_s", "status"}
+    assert lin.where(F.col("status") != "DONE").count() == 0
+    # lineage row counts sum to stage row counts
+    per_stage = {
+        r["stage"]: r["total"]
+        for r in lin.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
+    }
+    assert per_stage["records"] == wp.count()
