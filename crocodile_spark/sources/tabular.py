@@ -1,0 +1,87 @@
+"""Tabular sources & sinks (SURVEY.md section 2.1).
+
+- S1 CSV scan: the reference streams pd.read_csv in 2048-row chunks
+  (crocodile/crocodile.py:199,234-248); Spark's distributed CSV reader
+  subsumes chunking. The <=1024-row classification sample (M2 input) is
+  ``df.limit(1024)``.
+- S2 in-memory DataFrame source (crocodile/crocodile.py:193-197): Arrow
+  createDataFrame.
+- S8 CSV sink (crocodile/crocodile.py:477-494): distributed write; the
+  reference's single-file append mode maps to ``coalesce(1)`` on request.
+- S10 gold CEA scan (training/onboard_data.py:85-93): headerless
+  (table, row 1-based, col, entity url) with F12 QID extraction.
+- S11 training-sample export (training/export_training.py:38-75).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crocodile_spark.functions.normalize import qid_from_url
+
+
+def read_input_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sample_rows: int = 1024,
+) -> tuple[DataFrame, DataFrame]:
+    """S1: CSV scan + the classification sample.
+
+    Returns (full df, head sample). Schema inference is avoided when a
+    schema is given (production posture); header row expected like the
+    reference's pandas reader.
+    """
+    reader = spark.read.option("header", "true")
+    df = (reader.schema(schema) if schema else reader.option("inferSchema", "true")).csv(
+        path
+    )
+    return df, df.limit(sample_rows)
+
+
+def read_pandas(spark: SparkSession, pdf: pd.DataFrame, schema=None) -> DataFrame:
+    """S2: in-memory pandas source (Arrow-accelerated)."""
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S8: CSV sink with header; ``single_file`` mirrors the reference's
+    one-growing-file behavior (driver-side coalesce -- use only for
+    human-sized exports)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+GOLD_CEA_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType()),
+        T.StructField("row_id_1based", T.IntegerType()),
+        T.StructField("col_id", T.IntegerType()),
+        T.StructField("entity_url", T.StringType()),
+    ]
+)
+
+
+def read_gold_cea(spark: SparkSession, path: str) -> DataFrame:
+    """S10: headerless CEA gold CSV -> (table_name, row_id 0-based, col_id,
+    qid). Row ids are 1-based in the file (data starts at spreadsheet row
+    2, training/onboard_data.py:89) and QID is the URL's last path segment
+    (F12)."""
+    raw = spark.read.schema(GOLD_CEA_SCHEMA).csv(path)
+    return raw.select(
+        "table_name",
+        (F.col("row_id_1based") - 1).alias("row_id"),
+        "col_id",
+        qid_from_url(F.col("entity_url")).alias("qid"),
+    )
+
+
+def write_training_samples(ranked: DataFrame, cfg, path: str) -> None:
+    """S11: per-candidate training rows (3dp features + binary target) to
+    CSV."""
+    from crocodile_spark.operators.el import training_export
+
+    export_csv(training_export(ranked, cfg), path)

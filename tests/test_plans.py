@@ -1,0 +1,89 @@
+"""Physical-plan quality gates: predicate pushdown, column pruning,
+broadcast joins, whole-stage codegen. These assert the *plan*, not the
+result -- a correct query that scans all columns or shuffles a broadcastable
+dim is a perf regression this suite catches."""
+
+from __future__ import annotations
+
+import pytest
+
+from crocodile_spark.plans.entry_queries import (
+    q_j6_export_top1,
+    q_s5_scan_filter_projection,
+    q_tpch_q1,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_s5_filter_pushdown_and_pruning(spark):
+    df = q_s5_scan_filter_projection(spark, SF)
+    plan = _formatted(df)
+    # predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:200]
+    # only the needed columns are read
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema  # unused column pruned
+
+
+def test_tpch_q1_pushdown_and_codegen(spark):
+    df = q_tpch_q1(spark, SF)
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    exec_plan = _plan(df)
+    assert "HashAggregate" in exec_plan and "partial_sum" in exec_plan
+    # AQE shows codegen only in the final (executed) plan; '*(n)' prefixes
+    # mark whole-stage-codegen'd operators in the simple plan string
+    df.collect()
+    final_plan = _plan(df)
+    assert "*(" in final_plan
+
+
+def test_j6_broadcasts_small_dimension(spark):
+    df = q_j6_export_top1(spark, SF)
+    exec_plan = _plan(df)
+    assert "BroadcastHashJoin" in exec_plan  # customer side broadcast
+
+
+def test_scoring_has_no_python_udf_in_plan(spark, corpus_dfs):
+    """The pairwise scoring hot path must be pure JVM (no BatchEvalPython /
+    ArrowEvalPython nodes)."""
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.operators.blocking import block
+    from crocodile_spark.operators.normalize_stage import normalize_pages
+    from crocodile_spark.operators.scoring import score
+
+    wp, _, _ = corpus_dfs
+    cfg = PipelineConfig(shuffle_partitions=4)
+    records = normalize_pages(wp, use_html=False)  # html UDF excluded here
+    sigs, pairs = block(records, cfg)
+    scored = score(pairs, sigs, cfg)
+    plan = _plan(scored)
+    assert "EvalPython" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_blocking_aggregates_are_partial(spark, corpus_dfs):
+    """Key counts must show two-phase hash aggregation (map-side partial),
+    the skew-immunity mechanism for COUNT."""
+    from pyspark.sql import functions as F
+
+    from crocodile_spark.operators.blocking import key_count
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    plan = _plan(key_count(df, "k"))
+    # partial_count on the map side, final count after the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
