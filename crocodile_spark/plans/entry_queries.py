@@ -978,6 +978,75 @@ SELECT c.* FROM cache c WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.o_orderkey
 """
 
 
+def q_j1_cache_lookup(spark, sf_dir):
+    """J1 candidate-cache lookup law (crocodile/fetchers.py:128-147): left
+    join requests against the cache; hits carry the cached value, misses
+    are flagged for fetch."""
+    o = _t(spark, sf_dir, "orders")
+    cache = o.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("cached_val")
+    )
+    requests = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    return requests.join(cache, "o_orderkey", "left").select(
+        "o_orderkey",
+        "cached_val",
+        F.col("cached_val").isNull().cast("int").alias("needs_fetch"),
+    )
+
+
+SQL_J1 = """
+WITH cache AS (
+  SELECT o_orderkey, round(o_totalprice, 6) AS cached_val
+  FROM orders WHERE o_orderkey % 5 = 0
+), req AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+SELECT r.o_orderkey, c.cached_val,
+       CASE WHEN c.cached_val IS NULL THEN 1 ELSE 0 END AS needs_fetch
+FROM req r LEFT JOIN cache c USING (o_orderkey)
+"""
+
+
+def q_p5_placeholder_filter(spark, sf_dir):
+    """P5 placeholder-removal law (crocodile/fetchers.py:166-170): derive
+    an is_placeholder flag, drop flagged rows before returning."""
+    d = _t(spark, sf_dir, "documents")
+    flagged = d.withColumn("is_placeholder", F.col("n_chars") < 150)
+    return flagged.where(~F.col("is_placeholder")).select("doc_id", "n_chars")
+
+
+SQL_P5 = """
+SELECT doc_id, n_chars FROM documents WHERE NOT (n_chars < 150)
+"""
+
+
+def q_annotation_round(spark, sf_dir):
+    """Q10+Q11 serving mutations (rows-only): manual annotation then
+    candidate deletion with promotion, over a deterministic results table."""
+    from crocodile_spark.operators.annotations import annotate_match, delete_candidate
+
+    o = _t(spark, sf_dir, "orders").limit(200)
+    results = o.select(
+        F.lit("c").alias("client_id"),
+        F.lit("d").alias("dataset_name"),
+        F.lit("t").alias("table_name"),
+        (F.col("o_orderkey") % 10).cast("int").alias("row_id"),
+        F.lit(0).alias("col_id"),
+        F.concat(F.lit("Q"), F.col("o_orderkey")).alias("qid"),
+        F.round(F.col("o_totalprice") / 500000.0, 6).alias("score"),
+        F.lit(False).alias("match"),
+        F.lit(False).alias("manually_annotated"),
+    )
+    cell = {"client_id": "c", "dataset_name": "d", "table_name": "t",
+            "row_id": 0, "col_id": 0}
+    first_qid = (
+        results.where("row_id = 0").orderBy(F.desc("score"), "qid").limit(1)
+        .collect()[0]["qid"]
+    )
+    annotated = annotate_match(results, cell, first_qid)
+    return delete_candidate(annotated, cell, first_qid).select(
+        "row_id", "qid", "score", "match", "rank"
+    )
+
+
 def q_a6_progress_counters(spark, sf_dir):
     """A6 progress counters (crocodile_api.py:1479-1516): conditional sums
     by phase in one pass."""
@@ -1117,6 +1186,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f11_nan_scrub": q_f11_nan_scrub,
     "j2_merge_upsert": q_j2_merge_upsert,
     "a6_progress_counters": q_a6_progress_counters,
+    "j1_cache_lookup": q_j1_cache_lookup,
+    "p5_placeholder_filter": q_p5_placeholder_filter,
+    "annotation_round": q_annotation_round,
     "simhash_dedup": q_simhash_dedup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "ann_lsh_cosine": q_ann_lsh_cosine,
@@ -1159,6 +1231,9 @@ ORACLES: dict[str, str] = {
     "f11_nan_scrub": SQL_F11,
     "j2_merge_upsert": SQL_J2,
     "a6_progress_counters": SQL_A6,
+    "j1_cache_lookup": SQL_J1,
+    "p5_placeholder_filter": SQL_P5,
+    # annotation_round: stateful mutation sequence -> rows-only
     # el_link / simhash / minhash-lsh / ann-lsh / multimodal: rows-only by
     # design (iterative pipelines or engine-native hashing)
 }
