@@ -39,10 +39,13 @@ def normalize_mention(col: Column | str) -> Column:
 
     Order matters and matches the reference: strip first (so leading '_'
     becomes a leading space only after replacement -- the reference strips
-    *before* replacing), then underscore->space, then lowercase.
+    *before* replacing), then underscore->space, then lowercase. Python's
+    str.strip() removes ALL whitespace (tabs/newlines), unlike SQL trim
+    which removes only spaces -- hence the regexp strip.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.regexp_replace(F.trim(c.cast("string")), "_", " "))
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return F.lower(F.regexp_replace(stripped, "_", " "))
 
 
 def context_text(cols: Iterable[Column | str]) -> Column:

@@ -70,10 +70,10 @@ def q_f1_normalize(spark, sf_dir):
     )
 
 
-SQL_F1 = """
+SQL_F1 = r"""
 SELECT doc_id,
-       lower(replace(trim(text), '_', ' ')) AS mention_norm,
-       sha256(lower(replace(trim(text), '_', ' '))) AS row_sha
+       lower(replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '_', ' ')) AS mention_norm,
+       sha256(lower(replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '_', ' '))) AS row_sha
 FROM documents
 """
 
