@@ -194,14 +194,12 @@ def blocking_keys(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     host = sigs.where(
         F.col("host").isNotNull() & (F.length("host") > 0)
     ).select("url", F.concat(F.lit("host:"), F.col("host")).alias("key"))
-    hashk = sigs.select(
-        "url", F.concat(F.lit("hash:"), F.col("row_hash")).alias("key")
-    )
     mh = minhash_band_keys(sigs, cfg)
     # each family emits unique (url, key) rows by construction (sig_tokens
-    # is a set; host/hash are one row; band index is in the key prefix), so
-    # no dedup shuffle is needed here
-    return tok.union(host).union(hashk).union(mh)
+    # is a set; host is one row; band index is in the key prefix), so no
+    # dedup shuffle is needed here. Exact-duplicate groups (F3 row hash)
+    # are NOT a key family: they are handled linearly by exact_dup_pairs.
+    return tok.union(host).union(mh)
 
 
 def cap_blocks(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -231,10 +229,29 @@ def generate_pairs(capped_keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return pairs
 
 
+def exact_dup_pairs(records: DataFrame) -> DataFrame:
+    """Exact-duplicate pairs via the F3 row hash -- LINEAR star edges.
+
+    Identical texts are certain matches: enumerating their C(n,2) pairs is
+    quadratic waste and a block cap would wrongly drop giant duplicate
+    groups (the web is full of them). Instead each hash group emits
+    (min url -> member) star edges: n-1 edges, transitively equivalent
+    under connected components.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("row_hash")
+    m = records.select("row_hash", "url").withColumn("root", F.min("url").over(w))
+    return m.where(F.col("url") != F.col("root")).select(
+        F.col("root").alias("url_a"), F.col("url").alias("url_b")
+    )
+
+
 def block(records: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     """Full stage 2: returns (signatures, candidate_pairs)."""
     sigs = mention_signatures(records, cfg)
     keys = blocking_keys(sigs, cfg)
     capped = cap_blocks(keys, cfg)
     pairs = generate_pairs(capped, cfg)
+    pairs = pairs.union(exact_dup_pairs(records)).dropDuplicates(["url_a", "url_b"])
     return sigs, pairs

@@ -79,19 +79,21 @@ def attach_pair_features(
     broadcast build is single-threaded, so forcing it hurts scaling when
     the join would have been fine).
     """
-    proj = sigs.select("url", "mention_norm", "sig_tokens", "tokens")
+    proj = sigs.select("url", "mention_norm", "sig_tokens", "tokens", "row_hash")
     side = F.broadcast(proj) if broadcast_sigs else proj
     a = side.select(
         F.col("url").alias("url_a"),
         F.col("mention_norm").alias("mention_a"),
         F.col("sig_tokens").alias("sig_tokens_a"),
         F.col("tokens").alias("tokens_a"),
+        F.col("row_hash").alias("row_hash_a"),
     )
     b = side.select(
         F.col("url").alias("url_b"),
         F.col("mention_norm").alias("mention_b"),
         F.col("sig_tokens").alias("sig_tokens_b"),
         F.col("tokens").alias("tokens_b"),
+        F.col("row_hash").alias("row_hash_b"),
     )
     df = pairs.join(a, "url_a", "inner").join(b, "url_b", "inner")
     df = (
@@ -155,15 +157,21 @@ def logistic_score(
 
 
 def score(pairs: DataFrame, sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Full stage 3: features + W1 heuristic + logistic prob + edge flag."""
+    """Full stage 3: features + W1 heuristic + logistic prob + edge flag.
+
+    Exact duplicates (equal F3 row hashes) are certain matches regardless
+    of the similarity score -- empty mention signatures would otherwise
+    score identical texts below threshold.
+    """
     df = attach_pair_features(pairs, sigs)
     df = heuristic_score(df)
     df = logistic_score(df)
+    exact = F.col("row_hash_a") == F.col("row_hash_b")
     return df.select(
         "url_a",
         "url_b",
         *PAIR_FEATURES,
         "score",
         "match_prob",
-        (F.col("score") >= cfg.score_threshold).alias("is_edge"),
+        ((F.col("score") >= cfg.score_threshold) | exact).alias("is_edge"),
     )

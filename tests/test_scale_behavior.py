@@ -1,0 +1,83 @@
+"""Scale-behavior gates: CC convergence bounds on adversarial graphs and
+hot-key handling in blocking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crocodile_spark.config import PipelineConfig
+from crocodile_spark.operators.blocking import (
+    block,
+    cap_blocks,
+    generate_pairs,
+    mention_df_threshold,
+)
+from crocodile_spark.operators.clustering import connected_components
+
+
+def test_cc_converges_on_long_chain_within_log_rounds(spark):
+    """large-star/small-star converges in O(log n) alternations: a
+    2000-node path must finish well inside the 20-iteration bound."""
+    n = 2000
+    edges = spark.range(n - 1).select(
+        F.format_string("n%05d", F.col("id")).alias("u"),
+        F.format_string("n%05d", F.col("id") + 1).alias("v"),
+    )
+    assign = connected_components(edges, max_iterations=20)
+    roots = assign.select("cluster_id").distinct().collect()
+    assert len(roots) == 1 and roots[0]["cluster_id"] == "n00000"
+    assert assign.count() == n
+
+
+def test_cc_many_components(spark):
+    """500 disjoint triangles resolve to 500 clusters with min-id roots."""
+    base = spark.range(500)
+    edges = None
+    for a, b in [(0, 1), (1, 2), (0, 2)]:
+        e = base.select(
+            F.format_string("c%04d_%d", F.col("id"), F.lit(a)).alias("u"),
+            F.format_string("c%04d_%d", F.col("id"), F.lit(b)).alias("v"),
+        )
+        edges = e if edges is None else edges.union(e)
+    assign = connected_components(edges)
+    assert assign.select("cluster_id").distinct().count() == 500
+    bad = assign.where(~F.col("cluster_id").endswith("_0")).select("cluster_id")
+    assert bad.where(F.col("cluster_id") != F.col("cluster_id")).count() == 0
+    assert assign.where(F.col("cluster_id").endswith("_0")).count() == assign.count()
+
+
+def test_hot_key_dropped_but_pairs_survive_via_other_keys(spark):
+    """A key hotter than the block cap is dropped entirely; records
+    sharing both the hot key and a rare key still pair via the rare key."""
+    cfg = PipelineConfig(max_block_size=8)
+    rows = [("hot", f"u{i:03d}") for i in range(50)]
+    rows += [("rare", "u001"), ("rare", "u002")]
+    keys = spark.createDataFrame(rows, ["key", "url"])
+    capped = cap_blocks(keys, cfg)
+    assert {r["key"] for r in capped.select("key").distinct().collect()} == {"rare"}
+    pairs = {(r["url_a"], r["url_b"]) for r in generate_pairs(capped, cfg).collect()}
+    assert pairs == {("u001", "u002")}
+
+
+def test_mention_df_threshold_regimes():
+    cfg = PipelineConfig(max_block_size=64, mention_df_fraction=0.05, mention_df_floor=3)
+    assert mention_df_threshold(cfg, 10) == 3          # floor at tiny corpora
+    assert mention_df_threshold(cfg, 240) == 12        # relative regime
+    assert mention_df_threshold(cfg, 10_000_000) == 64  # block-cap bound at scale
+
+
+def test_pipeline_handles_pathological_corpus(spark):
+    """All-identical texts (one giant dup cluster): quadratic key families
+    are capped away, but the exact-dup star path keeps the group linear --
+    119 edges, one cluster."""
+    rows = [(f"https://h{i % 7}.x/p{i}", "same exact text for everyone") for i in range(120)]
+    wp = spark.createDataFrame(rows, "url string, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    from crocodile_spark.pipeline import run_pipeline
+
+    cfg = PipelineConfig(shuffle_partitions=4, max_block_size=16)
+    out = run_pipeline(spark, wp, cfg, use_html=False)
+    assert out.pairs.count() == 119  # linear, not C(120,2)=7140
+    assert out.clusters.count() == 120
+    assert out.clusters.select("cluster_id").distinct().count() == 1
