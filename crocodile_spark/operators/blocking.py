@@ -9,9 +9,11 @@ records sharing at least one blocking key, where the key families are
                     crocodile/processors.py:186-200): records sharing a
                     normalized mention share a candidate set;
   host:<host>       URL host (web-specific signal);
-  hash:<sha256>     exact-duplicate fast path (F3 row hash law,
-                    crocodile/processors.py:112);
   mh<i>:<band>      MinHash LSH bands over char-3-gram shingles (F5 law).
+
+Exact duplicates (F3 row hash law, crocodile/processors.py:112) are not a
+key family: hash groups emit linear min-url star edges (exact_dup_pairs),
+immune to block caps and quadratic blowup.
 
 Scale design (10^12-doc posture):
   * token document frequency is a single hash aggregation -- map-side
@@ -209,13 +211,16 @@ def cap_blocks(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return keys.join(ok, "key", "inner")
 
 
-def generate_pairs(capped_keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def generate_pairs(
+    capped_keys: DataFrame, cfg: PipelineConfig, distinct: bool = True
+) -> DataFrame:
     """Self-join per key -> distinct unordered candidate pairs.
 
     The equi-join itself hash-partitions both sides by key (no explicit
     repartition needed); url_a < url_b halves the cross product and fixes
     pair orientation (deterministic output); the final distinct collapses
-    pairs that co-occur under several keys.
+    pairs that co-occur under several keys (callers that union further
+    pair sources pass distinct=False and dedup once at the end).
     """
     left = capped_keys
     right = capped_keys.withColumnRenamed("url", "url_b")
@@ -224,9 +229,8 @@ def generate_pairs(capped_keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .join(right, "key", "inner")
         .where(F.col("url_a") < F.col("url_b"))
         .select("url_a", "url_b")
-        .distinct()
     )
-    return pairs
+    return pairs.distinct() if distinct else pairs
 
 
 def exact_dup_pairs(records: DataFrame) -> DataFrame:
@@ -247,11 +251,17 @@ def exact_dup_pairs(records: DataFrame) -> DataFrame:
     )
 
 
+def pairs_from_signatures(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Candidate pairs from a signature table (carries url/host/row_hash/
+    text_norm/sig_tokens): capped key blocks + linear exact-dup stars,
+    deduplicated once."""
+    keys = blocking_keys(sigs, cfg)
+    capped = cap_blocks(keys, cfg)
+    pairs = generate_pairs(capped, cfg, distinct=False)
+    return pairs.union(exact_dup_pairs(sigs)).dropDuplicates(["url_a", "url_b"])
+
+
 def block(records: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     """Full stage 2: returns (signatures, candidate_pairs)."""
     sigs = mention_signatures(records, cfg)
-    keys = blocking_keys(sigs, cfg)
-    capped = cap_blocks(keys, cfg)
-    pairs = generate_pairs(capped, cfg)
-    pairs = pairs.union(exact_dup_pairs(records)).dropDuplicates(["url_a", "url_b"])
-    return sigs, pairs
+    return sigs, pairs_from_signatures(sigs, cfg)

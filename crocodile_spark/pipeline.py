@@ -79,9 +79,9 @@ def run_pipeline(
 
 
 def _pairs_from_sigs(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    from crocodile_spark.operators.blocking import blocking_keys, cap_blocks, generate_pairs
+    from crocodile_spark.operators.blocking import pairs_from_signatures
 
-    return generate_pairs(cap_blocks(blocking_keys(sigs, cfg), cfg), cfg)
+    return pairs_from_signatures(sigs, cfg)
 
 
 def evaluate_pairwise_f1(

@@ -33,16 +33,19 @@ from crocodile_spark.operators.blocking import block
 from crocodile_spark.operators.scoring import score
 from crocodile_spark.operators.clustering import cluster_records
 
+# 3x partitions per core: with partitions == cores every stage tail idles
+# (cores-1) slots; finer tasks pack concurrent AQE stages ~fully. Scaled
+# with cores, so both levels run the identical config law.
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores)
+                  shuffle_partitions=cores * 3)
 spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
 corpus = make_corpus(n_entities=n_entities, pages_per_entity=pages, seed=42,
                      filler_range=(max(2, filler_hi // 3), filler_hi))
 wp, kb, gold = corpus_to_spark(spark, corpus)
-wp = wp.repartition(cores).persist()
+wp = wp.repartition(cores * 3).persist()
 n_records = wp.count()
 
-cfg = PipelineConfig(shuffle_partitions=cores)
+cfg = PipelineConfig(shuffle_partitions=cores * 3)
 # north-metric section: normalize + block + score (candidate-pairs/sec).
 # best-of-2 trials to damp noisy-neighbor variance on this VM.
 trials = []
