@@ -59,13 +59,25 @@ class Lakehouse:
         return self.spark.read.parquet(p)
 
     def _write_lineage(self, name: str, part_counts: DataFrame, wall_s: float) -> None:
-        (
+        new = (
             part_counts.withColumn("stage", F.lit(name))
             .withColumn("wall_s", F.lit(wall_s))
             .withColumn("status", F.lit("DONE"))
-            .write.mode("append")
-            .parquet(self._lineage_path())
         )
+        p = self._lineage_path()
+        existing = self.lineage()
+        if (
+            existing is not None
+            and existing.where(F.col("stage") == name).limit(1).count() > 0
+        ):
+            # stage re-execution after a kill/invalidate: replace this
+            # stage's lineage rows instead of appending a duplicate set
+            # (lineage totals would double-count otherwise). Materialize the
+            # kept rows before overwriting the directory they were read from.
+            kept = existing.where(F.col("stage") != name).localCheckpoint(eager=True)
+            kept.unionByName(new).write.mode("overwrite").parquet(p)
+        else:
+            new.write.mode("append").parquet(p)
 
     # -- stage execution with resume ---------------------------------------
     def run_stage(self, name: str, build) -> StageResult:

@@ -34,8 +34,18 @@ from crocodile_spark.functions.similarity import (
 
 # F8: candidate kind -> numeric (crocodile/feature.py:66-73; default 1)
 KIND_MAP = {"entity": 1, "type": 2, "disambiguation": 3, "predicate": 4}
-# F9: NER type -> numeric (crocodile/feature.py:33-44; default 4 = OTHER)
-NERTYPE_MAP = {"LOCATION": 1, "ORGANIZATION": 2, "PERSON": 3, "OTHER": 4}
+# F9: NER type -> numeric (crocodile/feature.py:33-44; default 4 = OTHER).
+# Alias forms (LOC/ORG/PERS/OTHERS) map identically in the reference.
+NERTYPE_MAP = {
+    "LOCATION": 1,
+    "LOC": 1,
+    "ORGANIZATION": 2,
+    "ORG": 2,
+    "PERSON": 3,
+    "PERS": 3,
+    "OTHER": 4,
+    "OTHERS": 4,
+}
 
 # The 7 features averaged by the W1 heuristic (crocodile/processors.py:325-343)
 W1_FEATURES = (
@@ -65,8 +75,12 @@ def extract_cells(input_rows: DataFrame) -> DataFrame:
     Applies the P4 validity law (processors.py:130-136), F1 mention law,
     F2 context law over context columns, F3 row hash.
     """
+    # try_element_at: ANSI mode (default in Spark 4) makes element_at throw
+    # on out-of-range indexes; the reference tolerates ragged rows via its
+    # int(c) < len(row) guard (processors.py:130-136), so null-on-miss here.
     ctx_vals = F.transform(
-        F.col("context_cols"), lambda i: F.coalesce(F.element_at("data", i + 1), F.lit(""))
+        F.col("context_cols"),
+        lambda i: F.coalesce(F.try_element_at("data", i + 1), F.lit("")),
     )
     ctx = F.trim(
         F.regexp_replace(
@@ -87,8 +101,10 @@ def extract_cells(input_rows: DataFrame) -> DataFrame:
         "correct_qids",
         F.explode("ne_cols").alias("col_id_str", "ne_type"),
     ).withColumn("col_id", F.col("col_id_str").cast("int"))
-    cells = cells.withColumn("cell_value", F.element_at("data", F.col("col_id") + 1))
-    # P4 validity: in-range (element_at -> null when out of range), truthy, notna
+    cells = cells.withColumn(
+        "cell_value", F.try_element_at("data", F.col("col_id") + 1)
+    )
+    # P4 validity: in-range (try_element_at -> null when out of range), truthy, notna
     cells = cells.where(
         F.col("cell_value").isNotNull() & (F.length(F.trim("cell_value")) > 0)
     )
@@ -102,7 +118,7 @@ def extract_cells(input_rows: DataFrame) -> DataFrame:
         normalize_mention(F.col("cell_value")).alias("mention_norm"),
         "context_text",
         "row_hash",
-        F.element_at(
+        F.try_element_at(
             "correct_qids", F.concat_ws("-", F.col("row_id"), F.col("col_id"))
         ).alias("gold_qid"),
     )

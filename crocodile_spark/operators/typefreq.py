@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from crocodile_spark.config import PipelineConfig
 
 CELL_KEY = ["client_id", "dataset_name", "table_name", "row_id", "col_id"]
+COL_KEY = ["client_id", "dataset_name", "table_name", "col_id"]
 
 
 def global_type_frequencies(
@@ -35,9 +36,13 @@ def global_type_frequencies(
     """
     df = ranked.where(F.col("rank") <= cfg.top_n_for_type_freq)
     if sample:
+        # pmod, not %: Spark % preserves the dividend's sign, so negative
+        # xxhash64 values would always pass and inflate the kept fraction.
         df = df.where(
-            (F.xxhash64(F.concat_ws("|", *CELL_KEY), F.lit(cfg.type_freq_sample_seed))
-             % 100)
+            F.pmod(
+                F.xxhash64(F.concat_ws("|", *CELL_KEY), F.lit(cfg.type_freq_sample_seed)),
+                F.lit(100),
+            )
             < int(cfg.type_freq_sample_fraction * 100)
         )
     row_types = (
@@ -45,7 +50,10 @@ def global_type_frequencies(
         .select(*CELL_KEY, F.col("t.id").alias("type_id"))
         .distinct()  # set-dedup per row (feature.py:227-236)
     )
-    col_key = ["table_name", "col_id"]
+    # Feature scope is per (client_id, dataset_name, table_name) in the
+    # reference; keying by table_name alone would pool counts across
+    # clients/datasets sharing a table name.
+    col_key = COL_KEY
     rows_per_col = (
         df.select(*CELL_KEY).distinct().groupBy(*col_key)
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -70,7 +78,7 @@ def attach_type_freq_features(
         *CELL_KEY, "qid", F.explode_outer("types").alias("t")
     ).select(*CELL_KEY, "qid", F.col("t.id").alias("type_id"))
     joined = exploded.join(
-        F.broadcast(type_freqs), ["table_name", "col_id", "type_id"], "left"
+        F.broadcast(type_freqs), [*COL_KEY, "type_id"], "left"
     )
     per_cand = joined.groupBy(*CELL_KEY, "qid").agg(
         F.reverse(

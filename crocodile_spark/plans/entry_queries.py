@@ -1051,20 +1051,21 @@ def q_a6_progress_counters(spark, sf_dir):
     """A6 progress counters (crocodile_api.py:1479-1516): conditional sums
     by phase in one pass."""
     e = _t(spark, sf_dir, "events")
+    # both sides cast to 64-bit: DuckDB sum(int) is HUGEINT, Spark's BIGINT
     return e.agg(
-        F.sum((F.col("event_type") == "click").cast("int")).alias("n_click"),
-        F.sum((F.col("event_type") == "purchase").cast("int")).alias("n_purchase"),
+        F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("n_click"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("n_purchase"),
         F.sum(
             (~F.col("event_type").isin("click", "purchase")).cast("int")
-        ).alias("n_other"),
+        ).cast("long").alias("n_other"),
         F.count(F.lit(1)).alias("n_total"),
     )
 
 
 SQL_A6 = """
-SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type NOT IN ('click','purchase') THEN 1 ELSE 0 END) AS n_other,
+SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type NOT IN ('click','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
        count(*) AS n_total
 FROM events
 """

@@ -288,3 +288,36 @@ def test_retrieval_cap(spark, el_data):
     cands = generate_candidates(cells, kb, cfg)
     mx = cands.groupBy("mention_norm").count().agg(F.max("count")).collect()[0][0]
     assert mx <= 3
+
+
+def test_ragged_rows_tolerated_not_crashed(spark, el_data):
+    """ANSI-mode regression: ne_cols/context_cols indexes past the end of
+    data must yield null (P4 drop), matching the reference's
+    int(c) < len(row) guard (processors.py:130-136), not abort the job."""
+    input_rows, kb, _ = el_data
+    from pyspark.sql import functions as F2
+
+    ragged = input_rows.withColumn(
+        "data", F2.slice("data", 1, 1)  # keep only col 0; cols 1..3 now out of range
+    ).withColumn("context_cols", F2.array(F2.lit(1), F2.lit(9)))
+    cells = extract_cells(ragged)  # must not raise INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    got_cols = {r["col_id"] for r in cells.select("col_id").distinct().collect()}
+    assert got_cols <= {0}  # out-of-range NE cols dropped by P4
+
+
+def test_a2_sample_fraction_is_unbiased(spark, ranked):
+    """pmod regression: the seeded hash sample must keep ~fraction of cells,
+    not ~0.5 + fraction/2 (Spark % preserves the dividend's sign)."""
+    cfg = PipelineConfig(type_freq_sample_fraction=0.2)
+    from crocodile_spark.operators.typefreq import CELL_KEY
+
+    base = ranked.where(F.col("rank") <= cfg.top_n_for_type_freq)
+    kept = base.where(
+        F.pmod(
+            F.xxhash64(F.concat_ws("|", *CELL_KEY), F.lit(cfg.type_freq_sample_seed)),
+            F.lit(100),
+        )
+        < int(cfg.type_freq_sample_fraction * 100)
+    )
+    frac = kept.count() / max(base.count(), 1)
+    assert 0.05 <= frac <= 0.40  # would be ~0.6 under the sign bug

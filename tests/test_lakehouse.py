@@ -40,6 +40,16 @@ def test_stage_resume_and_kill_recovery(spark, corpus_dfs, tmp_path):
     clusters3 = {(r["url"], r["cluster_id"]) for r in out3.clusters.collect()}
     assert clusters1 == clusters3  # identical output after mid-stage resume
 
+    # re-execution must REPLACE a stage's lineage rows, not append a second
+    # set: totals would double-count after any kill/resume cycle otherwise
+    lin = lake.lineage()
+    totals = {
+        r["stage"]: r["total"]
+        for r in lin.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
+    }
+    assert totals["scored"] == out3.stage_stats["scored"]["rows"]
+    assert totals["clusters"] == out3.stage_stats["clusters"]["rows"]
+
 
 def test_lineage_rows_written(spark, corpus_dfs, tmp_path):
     wp, _, _ = corpus_dfs
