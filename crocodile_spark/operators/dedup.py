@@ -229,55 +229,53 @@ def embedding_near_dup_pairs(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 16,
+    num_planes: int = 4,
+    num_tables: int = 4,
     seed: int = 42,
     max_bucket_size: int = 1024,
 ) -> DataFrame:
-    """Embedding-cosine near-dup via random-hyperplane LSH.
+    """Embedding-cosine near-dup via banded random-hyperplane LSH.
 
-    Docs whose sign patterns agree on all ``num_planes`` hyperplanes share
-    a bucket; exact cosine verifies within buckets. Hyperplanes are seeded
-    numpy normals shipped as plan literals (broadcast-equivalent).
+    OR-construction: docs are candidates when their sign patterns agree on
+    all ``num_planes`` hyperplanes of AT LEAST ONE of ``num_tables``
+    independent tables; exact cosine verifies within buckets. A single
+    AND-construction of many planes has vanishing recall (at cosine 0.95 a
+    16-plane table catches only ~19% of true pairs); 4 tables x 4 planes
+    gives ~0.98 theoretical recall at the same threshold (gated by
+    tests/test_dedup.py). Buckets for every table come from one projection
+    + one explode; ids only travel through the bucket join, vectors are
+    re-joined after the pair dedup.
     """
-    import numpy as np
+    from crocodile_spark.operators.blocking import key_count
+    from crocodile_spark.operators.similarity_search import (
+        embedding_dim,
+        hyperplane_table_buckets,
+    )
 
-    dim_row = df.select(F.size(F.col(emb_col)).alias("d")).first()
-    if dim_row is None:
+    dim = embedding_dim(df, emb_col)
+    if dim is None:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
-    dim = dim_row["d"]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
-
-    def sign_bit(p):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(emb_col),
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    bucket = F.concat(*[sign_bit(planes[i]) for i in range(num_planes)])
-    d = df.withColumn("bucket", bucket).select(
-        F.col(id_col).alias("id"), F.col(emb_col).alias("v"), "bucket"
-    )
-    sizes = salted_count(d.select("id", "bucket"), "bucket")
+    buckets = hyperplane_table_buckets(emb_col, dim, num_planes, num_tables, seed)
+    b = df.select(F.col(id_col).alias("id"), F.explode(buckets).alias("bucket"))
+    sizes = key_count(b, "bucket")
     ok = sizes.where(F.col("count") <= max_bucket_size).select("bucket")
-    d = d.join(ok, "bucket", "inner")
-    a = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    return (
-        a.join(b, "bucket")
+    b = b.join(ok, "bucket", "inner")
+    pairs = (
+        b.withColumnRenamed("id", "id_a")
+        .join(b.withColumnRenamed("id", "id_b"), "bucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
+    return (
+        pairs.join(v.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(v.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
         .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )
 
 

@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crocodile_spark.functions.similarity import cosine_similarity
-from crocodile_spark.operators.blocking import salted_count
 
 
 def brute_force_topk(
@@ -45,11 +44,19 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_buckets(emb_col: str, dim: int, num_planes: int, seed: int):
-    import numpy as np
+def hyperplane_table_buckets(
+    emb_col: str, dim: int, planes_per_table: int, num_tables: int, seed: int
+):
+    """array<string> of per-table LSH bucket keys ``t<i>:<sign bits>``.
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
+    OR-construction over ``num_tables`` independent AND-constructions of
+    ``planes_per_table`` random hyperplanes: two vectors are candidates if
+    ALL sign bits agree in AT LEAST ONE table. Planes are seeded numpy
+    normals shipped as plan literals (broadcast-equivalent); table t uses
+    seed + 1000*t. Computing every table in one projection lets callers
+    explode (table, bucket) once instead of rescanning the input per table.
+    """
+    import numpy as np
 
     def sign_bit(p):
         dot = F.aggregate(
@@ -63,7 +70,22 @@ def _hyperplane_buckets(emb_col: str, dim: int, num_planes: int, seed: int):
         )
         return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat(*[sign_bit(planes[i]) for i in range(num_planes)])
+    keys = []
+    for t in range(num_tables):
+        rng = np.random.default_rng(seed + 1000 * t)
+        planes = rng.standard_normal((planes_per_table, dim))
+        keys.append(
+            F.concat(
+                F.lit(f"t{t}:"), *[sign_bit(planes[i]) for i in range(planes_per_table)]
+            )
+        )
+    return F.array(*keys)
+
+
+def embedding_dim(df: DataFrame, emb: str) -> int | None:
+    """Driver-side dim probe (one row of metadata, not data-scale)."""
+    dim_row = df.select(F.size(F.col(emb)).alias("d")).first()
+    return None if dim_row is None else int(dim_row["d"])
 
 
 def lsh_topk(
@@ -78,35 +100,39 @@ def lsh_topk(
     seed: int = 42,
     max_bucket_size: int = 4096,
 ) -> DataFrame:
-    """ANN top-k: random-hyperplane LSH bucket join, exact cosine within
-    candidates, union over ``num_tables`` independent tables.
+    """ANN top-k: single-pass random-hyperplane LSH bucket join, exact
+    cosine within candidates, OR over ``num_tables`` independent tables.
 
+    Single-pass shape: all table buckets come from ONE projection and one
+    explode on each side (not a per-table union, which would rescan the
+    corpus and recount buckets ``num_tables`` times); the bucket join
+    carries ids only, vectors are re-joined after the candidate-pair dedup
+    so the per-table replication never shuffles the embedding payload.
     Recall grows with num_tables; cost is Sum(bucket pair volume), capped.
     """
-    dim_row = corpus.select(F.size(F.col(emb)).alias("d")).first()
-    if dim_row is None:
+    from crocodile_spark.operators.blocking import key_count
+
+    dim = embedding_dim(corpus, emb)
+    if dim is None:
         raise ValueError("empty corpus")
-    dim = int(dim_row["d"])
+    buckets = hyperplane_table_buckets(emb, dim, num_planes, num_tables, seed)
 
-    cand_pairs = None
-    for t in range(num_tables):
-        bucket = _hyperplane_buckets(emb, dim, num_planes, seed + 1000 * t)
-        qb = queries.withColumn("bucket", bucket).select(
-            F.col(query_id), F.col(emb).alias("_qv"), "bucket"
-        )
-        cb = corpus.withColumn("bucket", bucket).select(
-            F.col(corpus_id), F.col(emb).alias("_cv"), "bucket"
-        )
-        sizes = salted_count(cb.select(F.col(corpus_id).alias("id"), "bucket"), "bucket")
-        ok = sizes.where(F.col("count") <= max_bucket_size).select("bucket")
-        cb = cb.join(ok, "bucket", "inner")
-        p = qb.join(cb, "bucket").select(query_id, corpus_id, "_qv", "_cv")
-        cand_pairs = p if cand_pairs is None else cand_pairs.unionByName(p)
-
-    cands = cand_pairs.dropDuplicates([query_id, corpus_id])
-    sims = cands.withColumn(
-        "cosine", cosine_similarity(F.col("_qv"), F.col("_cv"))
-    ).drop("_qv", "_cv")
+    qb = queries.select(F.col(query_id), F.explode(buckets).alias("bucket"))
+    cb = corpus.select(F.col(corpus_id), F.explode(buckets).alias("bucket"))
+    sizes = key_count(cb, "bucket")
+    ok = sizes.where(F.col("count") <= max_bucket_size).select("bucket")
+    cb = cb.join(ok, "bucket", "inner")
+    pairs = (
+        qb.join(cb, "bucket")
+        .select(query_id, corpus_id)
+        .dropDuplicates([query_id, corpus_id])
+    )
+    sims = (
+        pairs.join(queries.select(F.col(query_id), F.col(emb).alias("_qv")), query_id)
+        .join(corpus.select(F.col(corpus_id), F.col(emb).alias("_cv")), corpus_id)
+        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .drop("_qv", "_cv")
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

@@ -1093,9 +1093,36 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     )
 
 
+def _plane_bucket_sql(
+    emb_expr: str,
+    dim: int = 64,
+    planes_per_table: int = 4,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of operators.similarity_search.hyperplane_table_buckets:
+    the same seeded numpy planes inlined as double literals, sign bits via
+    list_inner_product. Returns a SQL list expression of bucket keys."""
+    import numpy as np
+
+    tables = []
+    for t in range(num_tables):
+        rng = np.random.default_rng(seed + 1000 * t)
+        planes = rng.standard_normal((planes_per_table, dim))
+        bits = []
+        for p in planes:
+            arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            bits.append(
+                f"(CASE WHEN list_inner_product({emb_expr}, {arr}) >= 0 "
+                "THEN '1' ELSE '0' END)"
+            )
+        tables.append(f"'t{t}:' || " + " || ".join(bits))
+    return "[" + ", ".join(tables) + "]"
+
+
 def q_ann_lsh_cosine(spark, sf_dir):
-    """Random-hyperplane LSH ANN top-5 (rows-only; seeded hyperplanes are
-    plan literals). Exact-oracle counterpart is cosine_topk."""
+    """Random-hyperplane LSH ANN top-5; oracle replays the identical seeded
+    hyperplanes as inline literals in DuckDB (value-checked, not rows-only)."""
     from crocodile_spark.operators.similarity_search import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1106,6 +1133,89 @@ def q_ann_lsh_cosine(spark, sf_dir):
     return lsh_topk(q, c, k=5).select(
         "query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+SQL_ANN = f"""
+WITH corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cb AS (
+  SELECT vec_id AS cand_id, unnest({_plane_bucket_sql("emb", num_tables=12)}) AS bucket
+  FROM corp
+), ok AS (
+  SELECT bucket FROM cb GROUP BY bucket HAVING count(*) <= 4096
+), cbo AS (
+  SELECT cb.cand_id, cb.bucket FROM cb JOIN ok USING (bucket)
+), qb AS (
+  SELECT vec_id AS query_id, unnest({_plane_bucket_sql("emb", num_tables=12)}) AS bucket
+  FROM corp WHERE vec_id % 20 = 0
+), pairs AS (
+  SELECT DISTINCT qb.query_id, cbo.cand_id FROM qb JOIN cbo USING (bucket)
+), sims AS (
+  SELECT p.query_id, p.cand_id,
+         list_cosine_similarity(q.emb, c.emb) AS cos_raw
+  FROM pairs p
+  JOIN corp q ON q.vec_id = p.query_id
+  JOIN corp c ON c.vec_id = p.cand_id
+), ranked AS (
+  SELECT query_id, cand_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, cand_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, cand_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Banded-LSH embedding near-dup (dedup.embedding_near_dup_pairs) over
+    the embeddings table plus deterministic planted near-duplicates
+    (vec_id % 10 == 0 copied at +1000000 with every component shifted by
+    +0.01 -> cosine ~0.997). 6 tables x 4 planes puts the per-pair miss
+    probability below 1e-6; the oracle replays the same planes in DuckDB."""
+    from crocodile_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.01)).alias(
+            "embedding"
+        ),
+    )
+    corp = base.unionByName(pert)
+    pairs = embedding_near_dup_pairs(corp, threshold=0.98, num_tables=6)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMB_NEAR_DUP = f"""
+WITH corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS emb
+  FROM embeddings WHERE vec_id % 10 = 0
+), b AS (
+  SELECT vec_id AS id, unnest({_plane_bucket_sql("emb", num_tables=6)}) AS bucket
+  FROM corp
+), ok AS (
+  SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1024
+), bo AS (
+  SELECT b.id, b.bucket FROM b JOIN ok USING (bucket)
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+  FROM bo a JOIN bo b2 USING (bucket) WHERE a.id < b2.id
+)
+SELECT p.id_a, p.id_b,
+       round(list_cosine_similarity(ca.emb, cb.emb), 6) AS cosine
+FROM pairs p
+JOIN corp ca ON ca.vec_id = p.id_a
+JOIN corp cb ON cb.vec_id = p.id_b
+WHERE list_cosine_similarity(ca.emb, cb.emb) >= 0.98
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1193,6 +1303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "ann_lsh_cosine": q_ann_lsh_cosine,
+    "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1234,7 +1345,8 @@ ORACLES: dict[str, str] = {
     "a6_progress_counters": SQL_A6,
     "j1_cache_lookup": SQL_J1,
     "p5_placeholder_filter": SQL_P5,
+    "ann_lsh_cosine": SQL_ANN,
+    "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # annotation_round: stateful mutation sequence -> rows-only
-    # el_link / simhash / minhash-lsh / ann-lsh / multimodal: rows-only by
-    # design (iterative pipelines or engine-native hashing)
+    # multimodal: rows-only by design (opaque binary plumbing)
 }

@@ -106,3 +106,43 @@ def test_embedding_near_dup(spark):
     }
     assert (0, 1) in got
     assert all(p in {(0, 1)} for p in got)
+
+
+def test_embedding_near_dup_recall_vs_brute_force(spark):
+    """Recall gate: banded LSH (OR over tables) must recover >= 0.9 of the
+    true cosine>=0.95 pairs that a single AND-construction would miss ~80%
+    of. Deterministic planted near-dups at a ~18-degree max angle."""
+    import math
+    import random
+
+    rnd = random.Random(7)
+    dim = 16
+    rows = []
+    vid = 0
+    for base in range(40):
+        v = [rnd.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        v = [x / n for x in v]
+        rows.append((vid, v)); vid += 1
+        # planted near-dup: small deterministic perturbation
+        w = [x + 0.12 * rnd.gauss(0, 1) / math.sqrt(dim) for x in v]
+        rows.append((vid, w)); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from crocodile_spark.operators.similarity_search import brute_force_topk
+
+    exact_pairs = {
+        (r["query_id"], r["cand_id"])
+        for r in brute_force_topk(
+            df.select(F.col("vec_id").alias("query_id"), "embedding"),
+            df.select(F.col("vec_id").alias("cand_id"), "embedding"),
+            k=len(rows),
+        ).where((F.col("cosine") >= 0.95) & (F.col("query_id") < F.col("cand_id"))).collect()
+    }
+    assert len(exact_pairs) >= 30  # the fixture really plants near-dups
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert not got - exact_pairs  # exact-cosine verify: zero false positives
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"banded-LSH recall {recall:.2f}"
