@@ -47,20 +47,41 @@ def exact_duplicates(
     )
 
 
+def portable_hash64(col, seed: int):
+    """Portable 60-bit hash, identical in Spark and DuckDB:
+
+      Spark : conv(substr(md5('<seed>:' || x), 1, 15), 16, 10)::long
+      DuckDB: CAST(('0x' || substr(md5('<seed>:' || x), 1, 15)) AS BIGINT)
+
+    Non-negative (< 2^60), so shift/mask/bit ops are sign-safe. The
+    xxhash64 fast path stays the production default; this exists so the
+    driver's DuckDB oracle can verify the ACTUAL minhash/simhash pairs
+    instead of a rows-only count.
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signature_agg(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 16,
     shingle_size: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, mh0..mhk-1) via explode->aggregate (the codegen-safe form)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(char_ngrams(F.lower(F.col(text_col)), shingle_size)).alias("sh"),
     )
+    if portable:
+        hashes = [portable_hash64(F.col("sh"), i) for i in range(num_hashes)]
+    else:
+        hashes = [F.xxhash64("sh", F.lit(i)) for i in range(num_hashes)]
     return sh.groupBy("id").agg(
-        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)]
+        *[F.min(h).alias(f"mh{i}") for i, h in enumerate(hashes)]
     )
 
 
@@ -73,20 +94,31 @@ def minhash_lsh_pairs(
     shingle_size: int = 3,
     jaccard_threshold: float | None = 0.7,
     max_bucket_size: int = 256,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs, optionally verified.
 
     Docs sharing any LSH band land in the same bucket; buckets above
     ``max_bucket_size`` are dropped (degenerate content). When
     ``jaccard_threshold`` is set, candidates are verified with the exact
-    char-shingle Jaccard and filtered.
+    char-shingle Jaccard and filtered. ``portable=True`` switches both the
+    signature and the band hash to the md5-based law so a DuckDB oracle
+    can reproduce the pairs bit-for-bit.
     """
-    sig = minhash_signature_agg(df, text_col, id_col, num_hashes, shingle_size)
+    sig = minhash_signature_agg(
+        df, text_col, id_col, num_hashes, shingle_size, portable=portable
+    )
+
+    def band_hash(concat_col):
+        if portable:
+            return F.substring(F.md5(concat_col), 1, 16)
+        return F.xxhash64(concat_col).cast("string")
+
     bands = F.array(
         *[
             F.concat(
                 F.lit(f"b{b}:"),
-                F.xxhash64(
+                band_hash(
                     F.concat_ws(
                         "_",
                         *[
@@ -94,7 +126,7 @@ def minhash_lsh_pairs(
                             for j in range(band_size)
                         ],
                     )
-                ).cast("string"),
+                ),
             )
             for b in range(num_hashes // band_size)
         ]
@@ -126,17 +158,28 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over the document's token set, native expressions.
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash over the document's token set, native expressions.
 
-    Each token contributes its xxhash64 bit pattern; the fingerprint bit i
-    is 1 when more tokens have bit i set than unset. Explode->aggregate:
-    per bit, sum(+/-1) via shiftright/and.
+    Each token contributes its hash bit pattern; the fingerprint bit i is
+    1 when more tokens have bit i set than unset. Explode->aggregate: per
+    bit, sum(+/-1) via shiftright/and. ``portable=True`` uses the md5
+    60-bit hash law (callers should pass bits=60 with it) so a DuckDB
+    oracle can reproduce fingerprints exactly.
     """
+    tok_hash = (
+        portable_hash64(F.col("tok"), 0) if portable else F.xxhash64("tok")
+    )
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -161,17 +204,20 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int = 256,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: 4-segment pigeonhole blocking + exact
     Hamming verification (<= max_hamming, which must be <= 3 for 4
     segments to guarantee recall)."""
-    fp = simhash(df, text_col, id_col)
+    bits = 60 if portable else 64
+    seg_bits = bits // 4
+    fp = simhash(df, text_col, id_col, bits=bits, portable=portable)
     segs = F.array(
         *[
             F.concat(
                 F.lit(f"seg{s}:"),
-                F.shiftright(F.col("simhash"), s * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash"), s * seg_bits)
+                .bitwiseAND(F.lit((1 << seg_bits) - 1))
                 .cast("string"),
             )
             for s in range(4)

@@ -1072,25 +1072,101 @@ FROM events
 
 
 def q_simhash_dedup(spark, sf_dir):
-    """SimHash near-dup pairs over documents (rows-only: engine-native
-    64-bit hashing is not portable to the oracle)."""
-    from crocodile_spark.operators.dedup import simhash
+    """SimHash near-dup pairs (60-bit portable md5 hash law + 4-segment
+    pigeonhole blocking + Hamming<=3 verify); the oracle reproduces the
+    fingerprints bit-for-bit in DuckDB. Production keeps the xxhash64
+    fast path (portable=False default)."""
+    from crocodile_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash(d, "text", "doc_id").select(
-        "id", F.col("simhash").cast("string").alias("simhash_str")
+    return simhash_pairs(d, portable=True).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+# 60-bit portable SimHash replayed in DuckDB SQL (generated, not hand-kept)
+_SH_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(60)
+)
+_SH_FP = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(60)
+)
+_SH_SEGS = ", ".join(
+    f"'seg{s}:' || CAST((fp >> {s * 15}) & 32767 AS VARCHAR)" for s in range(4)
+)
+SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({_SQL_TOKENS.format(col="text")}) AS tok FROM documents
+), th AS (
+  SELECT id, CAST(('0x' || substr(md5('0:' || tok), 1, 15)) AS BIGINT) AS h FROM tok
+), sums AS (
+  SELECT id, {_SH_SUMS} FROM th GROUP BY id
+), fps AS (
+  SELECT id, {_SH_FP} AS fp FROM sums
+), segs AS (
+  SELECT id, fp, unnest([{_SH_SEGS}]) AS bucket FROM fps
+), ok AS (
+  SELECT bucket FROM segs GROUP BY bucket HAVING count(*) <= 256
+), sb AS (
+  SELECT segs.id, segs.fp, segs.bucket FROM segs JOIN ok USING (bucket)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM sb a JOIN sb b USING (bucket) WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
 
 
 def q_minhash_lsh_dedup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs with exact-Jaccard verification
-    (rows-only; xxhash64 banding is engine-native)."""
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification, portable
+    md5 signature/band law so the oracle verifies the ACTUAL pairs.
+    Production keeps the xxhash64 fast path (portable=False default)."""
     from crocodile_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, jaccard_threshold=0.5).select(
+    return minhash_lsh_pairs(d, jaccard_threshold=0.5, portable=True).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+_MH_SIG_AGGS = ", ".join(
+    f"min(CAST(('0x' || substr(md5('{i}:' || sh), 1, 15)) AS BIGINT)) AS mh{i}"
+    for i in range(16)
+)
+_MH_BANDS = ", ".join(
+    "'b{}:' || substr(md5({}), 1, 16)".format(
+        b, " || '_' || ".join(f"CAST(mh{b * 4 + j} AS VARCHAR)" for j in range(4))
+    )
+    for b in range(4)
+)
+_MH_JACCARD = (
+    "CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) > 0 "
+    "THEN len(list_intersect(ga.g, gb.g)) * 1.0 "
+    "/ len(list_distinct(list_concat(ga.g, gb.g))) ELSE 0.0 END"
+)
+SQL_MINHASH = f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest({_SQL_NGRAMS.format(col="lower(text)")}) AS sh
+  FROM documents
+), sig AS (
+  SELECT id, {_MH_SIG_AGGS} FROM sh GROUP BY id
+), bk AS (
+  SELECT id, unnest([{_MH_BANDS}]) AS bucket FROM sig
+), ok AS (
+  SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 256
+), bko AS (
+  SELECT bk.id, bk.bucket FROM bk JOIN ok USING (bucket)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bko a JOIN bko b USING (bucket) WHERE a.id < b.id
+), grams AS (
+  SELECT doc_id AS id, {_SQL_NGRAMS.format(col="lower(text)")} AS g FROM documents
+)
+SELECT c.id_a, c.id_b, round({_MH_JACCARD}, 6) AS jaccard
+FROM cand c JOIN grams ga ON ga.id = c.id_a JOIN grams gb ON gb.id = c.id_b
+WHERE {_MH_JACCARD} >= 0.5
+"""
 
 
 def _plane_bucket_sql(
@@ -1347,6 +1423,8 @@ ORACLES: dict[str, str] = {
     "p5_placeholder_filter": SQL_P5,
     "ann_lsh_cosine": SQL_ANN,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
+    "simhash_dedup": SQL_SIMHASH,
+    "minhash_lsh_dedup": SQL_MINHASH,
     # annotation_round: stateful mutation sequence -> rows-only
     # multimodal: rows-only by design (opaque binary plumbing)
 }
