@@ -201,6 +201,40 @@ def make_corpus(
     return Corpus(web_pages=web_pages, kb_entities=kb, gold_pairs=gold)
 
 
+def make_ambiguous_kb(corpus: Corpus, seed: int = 44) -> pd.DataFrame:
+    """KB with planted distractors: one sibling per entity sharing its
+    first two name tokens (qid Q9xxx, fresh popularity/description).
+
+    Entity names in make_corpus are token-disjoint, so candidate sets
+    collapse to singletons and ranking is never exercised; siblings force
+    multi-candidate cells (the fuzzy token-block retry T5 finds them) so
+    EL feature/ranking math is tested on real competition.
+    """
+    rng = random.Random(seed)
+    kb = corpus.kb_entities
+    ents = kb.to_dict("records")
+    sibs = []
+    for e in ents:
+        toks = e["name"].split()
+        other = ents[rng.randrange(len(ents))]
+        sibs.append(
+            {
+                "qid": "Q9" + e["qid"][1:],
+                "name": " ".join(toks[:2] + [other["name"].split()[-1]]),
+                "description": f"{toks[0]} is a {rng.choice(_COLD_FILLER)} "
+                f"about {_word(rng)}",
+                "types": [
+                    {"id": t[0], "name": t[1]}
+                    for t in rng.sample(_TYPE_POOL, rng.choice([1, 2]))
+                ],
+                "popularity": round(rng.random(), 4),
+                "kind": "entity",
+                "nertype": rng.choice(_NERTYPES),
+            }
+        )
+    return pd.concat([kb, pd.DataFrame(sibs)], ignore_index=True)
+
+
 def make_el_fixture(corpus: Corpus, n_rows: int = 30, seed: int = 43) -> pd.DataFrame:
     """Crocodile-style tabular fixture (FIXTURES.md section 4): rows with
     NE cells drawn from the corpus entities under surface-form variation,
@@ -255,21 +289,10 @@ def el_fixture_to_spark(spark, pdf: pd.DataFrame):
     return spark.createDataFrame(pdf, schema=schema)
 
 
-def corpus_to_spark(spark, corpus: Corpus):
-    """Create the three Spark DataFrames with explicit schemas."""
+def kb_to_spark(spark, kb_pdf: pd.DataFrame):
+    """KB pandas -> Spark with the canonical explicit schema."""
     from pyspark.sql import types as T
 
-    pages_schema = T.StructType(
-        [
-            T.StructField("url", T.StringType(), False),
-            T.StructField("warc_ts", T.TimestampType(), True),
-            T.StructField("html", T.BinaryType(), True),
-            T.StructField("text", T.StringType(), True),
-            T.StructField("lang", T.StringType(), True),
-            T.StructField("entity_id", T.LongType(), True),
-            T.StructField("mention", T.StringType(), True),
-        ]
-    )
     kb_schema = T.StructType(
         [
             T.StructField("qid", T.StringType(), False),
@@ -291,6 +314,24 @@ def corpus_to_spark(spark, corpus: Corpus):
             T.StructField("nertype", T.StringType(), True),
         ]
     )
+    return spark.createDataFrame(kb_pdf, schema=kb_schema)
+
+
+def corpus_to_spark(spark, corpus: Corpus):
+    """Create the three Spark DataFrames with explicit schemas."""
+    from pyspark.sql import types as T
+
+    pages_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("entity_id", T.LongType(), True),
+            T.StructField("mention", T.StringType(), True),
+        ]
+    )
     gold_schema = T.StructType(
         [
             T.StructField("url_a", T.StringType(), False),
@@ -299,6 +340,6 @@ def corpus_to_spark(spark, corpus: Corpus):
         ]
     )
     wp = spark.createDataFrame(corpus.web_pages, schema=pages_schema)
-    kb = spark.createDataFrame(corpus.kb_entities, schema=kb_schema)
+    kb = kb_to_spark(spark, corpus.kb_entities)
     gold = spark.createDataFrame(corpus.gold_pairs, schema=gold_schema)
     return wp, kb, gold

@@ -1310,14 +1310,21 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+_EL_ORACLE_DIR = "/tmp/croco_spark_el_oracle"
+
+
 def q_el_link(spark, sf_dir):
-    """Full crocodile-parity EL phase (rows-only: candidate generation +
-    19-feature X1 + W1/W2/W3 ranking) on the deterministic synthetic
-    fixture; returns the el_results slice (top-K per cell)."""
+    """Full crocodile-parity EL phase on the deterministic synthetic
+    fixture (seeds 42/43): candidate generation (exact + fuzzy retry +
+    retrieval cap + gold injection) -> X1 features -> W1 mean score ->
+    W2 rank -> top-K slice. The query persists its fixture + KB to parquet
+    so the DuckDB oracle can replay the entire dataflow value-for-value
+    (reference law: crocodile/feature.py:87-153, processors.py:293-318)."""
     from crocodile_spark.config import PipelineConfig
     from crocodile_spark.datagen import (
-        corpus_to_spark,
         el_fixture_to_spark,
+        kb_to_spark,
+        make_ambiguous_kb,
         make_corpus,
         make_el_fixture,
     )
@@ -1325,11 +1332,201 @@ def q_el_link(spark, sf_dir):
 
     corpus = make_corpus(n_entities=30, pages_per_entity=4, seed=42)
     input_rows = el_fixture_to_spark(spark, make_el_fixture(corpus, n_rows=25, seed=43))
-    _, kb, _ = corpus_to_spark(spark, corpus)
+    # ambiguous KB: planted sibling distractors so cells carry competing
+    # candidates and the feature/ranking math is exercised, not just 1-hit
+    kb = kb_to_spark(spark, make_ambiguous_kb(corpus))
+    input_rows.write.mode("overwrite").parquet(f"{_EL_ORACLE_DIR}/input_rows.parquet")
+    kb.drop("types").write.mode("overwrite").parquet(f"{_EL_ORACLE_DIR}/kb.parquet")
     ranked = link_cells(input_rows, kb, PipelineConfig())
     return top_k_results(ranked, PipelineConfig()).select(
         "row_id", "col_id", "qid", "rank", F.round("score", 6).alias("score")
     )
+
+
+# F1 mention-normalization law in DuckDB
+_SQL_NORM = (
+    "lower(replace(regexp_replace(CAST({col} AS VARCHAR), "
+    r"'^\s+|\s+$', '', 'g'), '_', ' '))"
+)
+# F4 tokenize WITHOUT stopword removal (mention/name tokens in X1)
+_SQL_TOKENS_NOSTOP = (
+    "list_filter(list_distinct(string_split_regex(lower({col}), '[^a-z0-9]+')), "
+    "x -> len(x) > 0)"
+)
+# F6 token Jaccard law
+_SQL_JACCARD = (
+    "(CASE WHEN len(list_distinct(list_concat({a}, {b}))) > 0 "
+    "THEN len(list_intersect({a}, {b})) * 1.0 "
+    "/ len(list_distinct(list_concat({a}, {b}))) ELSE 0.0 END)"
+)
+# in-engine ed_score law (levenshtein similarity, 1.0 when both empty)
+_SQL_LEV = (
+    "(CASE WHEN greatest(len({a}), len({b})) > 0 "
+    "THEN 1.0 - levenshtein({a}, {b}) * 1.0 / greatest(len({a}), len({b})) "
+    "ELSE 1.0 END)"
+)
+
+SQL_EL = f"""
+WITH input_rows AS (
+  SELECT * FROM read_parquet('{_EL_ORACLE_DIR}/input_rows.parquet/*.parquet')
+), kbn AS (
+  SELECT qid, name, coalesce(description, '') AS descr,
+         coalesce(popularity, 0.0) AS popularity,
+         coalesce({_SQL_NORM.format(col="name")}, '') AS name_norm
+  FROM read_parquet('{_EL_ORACLE_DIR}/kb.parquet/*.parquet')
+), cells0 AS (
+  SELECT r.row_id, CAST(e.key AS INT) AS col_id,
+         r.data[CAST(e.key AS INT) + 1] AS cell_value,
+         trim(regexp_replace(lower(array_to_string(list_sort(
+             list_transform(r.context_cols, i -> coalesce(r.data[i + 1], ''))
+         ), ' ')), '\\s+', ' ', 'g')) AS context_text,
+         list_extract(map_extract(r.correct_qids,
+             CAST(r.row_id AS VARCHAR) || '-' || e.key), 1) AS gold_qid
+  FROM input_rows r, unnest(map_entries(r.ne_cols)) AS u(e)
+), cells AS (
+  SELECT row_id, col_id, {_SQL_NORM.format(col="cell_value")} AS mention_norm,
+         context_text, gold_qid
+  FROM cells0
+  WHERE cell_value IS NOT NULL AND len(trim(cell_value)) > 0
+), mentions AS (
+  SELECT DISTINCT mention_norm FROM cells
+), exact_c AS (
+  SELECT m.mention_norm, k.qid FROM mentions m JOIN kbn k ON m.mention_norm = k.name_norm
+), n_exact AS (
+  SELECT mention_norm, count(*) AS n FROM exact_c GROUP BY mention_norm
+), sparse AS (
+  SELECT m.mention_norm,
+         unnest({_SQL_TOKENS_NOSTOP.format(col="m.mention_norm")}) AS token
+  FROM mentions m LEFT JOIN n_exact ne USING (mention_norm)
+  WHERE coalesce(ne.n, 0) <= 1
+), kb_tok AS (
+  SELECT qid, unnest({_SQL_TOKENS_NOSTOP.format(col="name")}) AS token FROM kbn
+), fuzzy AS (
+  SELECT DISTINCT s.mention_norm, k.qid FROM sparse s JOIN kb_tok k USING (token)
+), cands0 AS (
+  SELECT DISTINCT mention_norm, qid FROM (
+    SELECT mention_norm, qid FROM exact_c
+    UNION ALL SELECT mention_norm, qid FROM fuzzy
+  )
+), retr AS (
+  SELECT c.mention_norm, c.qid,
+         row_number() OVER (PARTITION BY c.mention_norm
+             ORDER BY {_SQL_LEV.format(a="c.mention_norm", b="k.name_norm")} DESC,
+                      c.qid ASC) AS rr
+  FROM cands0 c JOIN kbn k USING (qid)
+), capped AS (
+  SELECT mention_norm, qid FROM retr WHERE rr <= 16
+), required AS (
+  SELECT DISTINCT mention_norm, gold_qid AS qid FROM cells WHERE gold_qid IS NOT NULL
+), missing AS (
+  SELECT r.mention_norm, r.qid FROM required r
+  LEFT JOIN capped c ON c.mention_norm = r.mention_norm AND c.qid = r.qid
+  WHERE c.qid IS NULL
+), cand_final AS (
+  SELECT mention_norm, qid FROM capped
+  UNION ALL
+  SELECT m.mention_norm, m.qid FROM missing m JOIN kbn k USING (qid)
+), cc AS (
+  SELECT v.row_id, v.col_id, f.qid, v.mention_norm, k.name_norm, k.descr, k.popularity,
+         {_SQL_TOKENS_NOSTOP.format(col="v.mention_norm")} AS m_toks,
+         {_SQL_TOKENS_NOSTOP.format(col="k.name_norm")} AS n_toks,
+         {_SQL_TOKENS.format(col="v.context_text")} AS ctx_toks,
+         {_SQL_TOKENS.format(col="k.descr")} AS d_toks,
+         {_SQL_NGRAMS.format(col="v.mention_norm")} AS m_grams,
+         {_SQL_NGRAMS.format(col="k.name_norm")} AS n_grams,
+         {_SQL_NGRAMS.format(col="k.descr")} AS d_grams
+  FROM cells v JOIN cand_final f USING (mention_norm) JOIN kbn k USING (qid)
+), feat AS (
+  SELECT row_id, col_id, qid,
+    (0.0
+     + {_SQL_LEV.format(a="mention_norm", b="name_norm")}
+     + {_SQL_JACCARD.format(a="m_toks", b="n_toks")}
+     + {_SQL_JACCARD.format(a="m_grams", b="n_grams")}
+     + {_SQL_JACCARD.format(a="ctx_toks", b="d_toks")}
+     + {_SQL_JACCARD.format(a="m_grams", b="d_grams")}
+     + {_SQL_JACCARD.format(a="ctx_toks", b="list_distinct(list_concat(n_toks, d_toks))")}
+     + popularity) / 7.0 AS score
+  FROM cc
+), ranked AS (
+  SELECT row_id, col_id, qid, score,
+         row_number() OVER (PARTITION BY row_id, col_id
+                            ORDER BY score DESC, qid ASC) AS rank
+  FROM feat
+)
+SELECT row_id, col_id, qid, rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+_ER_ORACLE_DIR = "/tmp/croco_spark_er_oracle"
+
+
+def q_er_pipeline_clusters(spark, sf_dir):
+    """Flagship end-to-end pipeline (normalize -> block -> score -> cluster)
+    over the documents table adapted to the web_pages shape. Persists the
+    accepted match edges + record urls so the DuckDB oracle can recompute
+    connected components INDEPENDENTLY (recursive-CTE transitive closure,
+    cluster_id = min member, singletons = own url) and value-check the
+    large-star/small-star implementation."""
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.pipeline import run_pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    wp = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = run_pipeline(spark, wp, PipelineConfig(), use_html=False)
+    out.scored.where(F.col("is_edge")).select("url_a", "url_b").write.mode(
+        "overwrite"
+    ).parquet(f"{_ER_ORACLE_DIR}/edges.parquet")
+    out.records.select("url").write.mode("overwrite").parquet(
+        f"{_ER_ORACLE_DIR}/urls.parquet"
+    )
+    sizes = out.clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return out.clusters.join(sizes, "cluster_id").select(
+        "url", "cluster_id", "cluster_size"
+    )
+
+
+SQL_ER_CLUSTERS = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT url_a, url_b FROM read_parquet('{_ER_ORACLE_DIR}/edges.parquet/*.parquet')
+),
+und AS (
+  SELECT url_a AS a, url_b AS b FROM edges
+  UNION
+  SELECT url_b AS a, url_a AS b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a
+),
+cid AS (
+  SELECT a AS url, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+urls AS (
+  SELECT url FROM read_parquet('{_ER_ORACLE_DIR}/urls.parquet/*.parquet')
+),
+assign AS (
+  SELECT u.url, coalesce(c.cluster_id, u.url) AS cluster_id
+  FROM urls u LEFT JOIN cid c USING (url)
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM assign GROUP BY cluster_id
+)
+SELECT a.url, a.cluster_id, s.cluster_size
+FROM assign a JOIN sizes s USING (cluster_id)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1381,6 +1578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_cosine": q_ann_lsh_cosine,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
+    "er_pipeline_clusters": q_er_pipeline_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1425,6 +1623,8 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     "simhash_dedup": SQL_SIMHASH,
     "minhash_lsh_dedup": SQL_MINHASH,
+    "el_link": SQL_EL,
+    "er_pipeline_clusters": SQL_ER_CLUSTERS,
     # annotation_round: stateful mutation sequence -> rows-only
     # multimodal: rows-only by design (opaque binary plumbing)
 }
