@@ -1019,11 +1019,13 @@ SELECT doc_id, n_chars FROM documents WHERE NOT (n_chars < 150)
 
 
 def q_annotation_round(spark, sf_dir):
-    """Q10+Q11 serving mutations (rows-only): manual annotation then
-    candidate deletion with promotion, over a deterministic results table."""
+    """Q10+Q11 serving mutations: manual annotation then candidate deletion
+    with promotion, over a deterministic results table; the oracle replays
+    the same two-mutation sequence in SQL (the mutations are pure
+    transformations, so their composition is single-statement expressible)."""
     from crocodile_spark.operators.annotations import annotate_match, delete_candidate
 
-    o = _t(spark, sf_dir, "orders").limit(200)
+    o = _t(spark, sf_dir, "orders").orderBy("o_orderkey").limit(200)
     results = o.select(
         F.lit("c").alias("client_id"),
         F.lit("d").alias("dataset_name"),
@@ -1045,6 +1047,52 @@ def q_annotation_round(spark, sf_dir):
     return delete_candidate(annotated, cell, first_qid).select(
         "row_id", "qid", "score", "match", "rank"
     )
+
+
+SQL_ANNOTATION = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 200
+), res AS (
+  SELECT CAST(o_orderkey % 10 AS INT) AS row_id, 0 AS col_id,
+         'Q' || CAST(o_orderkey AS VARCHAR) AS qid,
+         round(o_totalprice / 500000.0, 6) AS score,
+         false AS match
+  FROM o
+), first_q AS (
+  SELECT qid FROM res WHERE row_id = 0 ORDER BY score DESC, qid LIMIT 1
+), ann AS (
+  -- Q10 annotate_match on cell (row 0): chosen -> match/1.0, rest -> false
+  SELECT row_id, col_id, qid,
+         CASE WHEN row_id = 0 AND qid = (SELECT qid FROM first_q)
+              THEN 1.0 ELSE score END AS score,
+         CASE WHEN row_id = 0 AND qid = (SELECT qid FROM first_q) THEN true
+              WHEN row_id = 0 THEN false ELSE match END AS match
+  FROM res
+), kept AS (
+  -- Q11 delete the chosen candidate
+  SELECT * FROM ann
+  WHERE NOT (row_id = 0 AND qid = (SELECT qid FROM first_q))
+), flags AS (
+  SELECT *,
+     max(CASE WHEN match THEN 1 ELSE 0 END)
+         OVER (PARTITION BY row_id, col_id) AS has_match,
+     row_number() OVER (PARTITION BY row_id, col_id
+                        ORDER BY match DESC, score DESC, qid ASC) AS rn
+  FROM kept
+), prom AS (
+  -- promote the top survivor when the cell lost its match
+  SELECT row_id, col_id, qid,
+         CASE WHEN row_id = 0 AND has_match = 0 AND rn = 1
+              THEN 1.0 ELSE score END AS score,
+         CASE WHEN row_id = 0 AND has_match = 0 AND rn = 1
+              THEN true ELSE match END AS match
+  FROM flags
+)
+SELECT row_id, qid, score, match,
+       row_number() OVER (PARTITION BY row_id, col_id
+                          ORDER BY match DESC, score DESC, qid ASC) AS rank
+FROM prom
+"""
 
 
 def q_a6_progress_counters(spark, sf_dir):
@@ -1625,6 +1673,6 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_dedup": SQL_MINHASH,
     "el_link": SQL_EL,
     "er_pipeline_clusters": SQL_ER_CLUSTERS,
-    # annotation_round: stateful mutation sequence -> rows-only
+    "annotation_round": SQL_ANNOTATION,
     # multimodal: rows-only by design (opaque binary plumbing)
 }
