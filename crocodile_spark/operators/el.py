@@ -115,6 +115,7 @@ def extract_cells(input_rows: DataFrame) -> DataFrame:
         "row_id",
         "col_id",
         "ne_type",
+        "cell_value",
         normalize_mention(F.col("cell_value")).alias("mention_norm"),
         "context_text",
         "row_hash",
@@ -310,6 +311,29 @@ def export_el(ranked: DataFrame, input_rows: DataFrame) -> DataFrame:
         F.first("score").alias("score"),
     )
     return input_rows.select(*key, "data").join(wide, key, "left")
+
+
+def build_cell_data(ranked: DataFrame) -> DataFrame:
+    """J7 result-sync cell_data materialization
+    (backend/app/services/result_sync.py:428-454 + data_service.py:195-219):
+    the flat per-cell serving table the search/filter/sort/pagination
+    endpoints read -- one row per NE cell with its raw text, the top-1
+    candidate's confidence, and that candidate's sorted type ids. In
+    production this is a MERGE INTO a serving table; here it is the pure
+    projection (the merge law is J2)."""
+    key = ["client_id", "dataset_name", "table_name", "row_id", "col_id"]
+    top1 = ranked.where(F.col("rank") == 1)
+    types_col = (
+        F.array_sort(F.transform(F.col("types"), lambda t: t["id"]))
+        if "types" in ranked.columns
+        else F.array().cast("array<string>")
+    )
+    return top1.select(
+        *key,
+        F.col("cell_value").alias("cell_text"),
+        F.col("score").alias("confidence"),
+        types_col.alias("types"),
+    )
 
 
 def training_export(ranked: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -1361,13 +1361,10 @@ def q_multimodal_features(spark, sf_dir):
 _EL_ORACLE_DIR = "/tmp/croco_spark_el_oracle"
 
 
-def q_el_link(spark, sf_dir):
-    """Full crocodile-parity EL phase on the deterministic synthetic
-    fixture (seeds 42/43): candidate generation (exact + fuzzy retry +
-    retrieval cap + gold injection) -> X1 features -> W1 mean score ->
-    W2 rank -> top-K slice. The query persists its fixture + KB to parquet
-    so the DuckDB oracle can replay the entire dataflow value-for-value
-    (reference law: crocodile/feature.py:87-153, processors.py:293-318)."""
+def _el_ranked(spark):
+    """Deterministic EL fixture (seeds 42/43, ambiguous KB with planted
+    sibling distractors so cells carry competing candidates), persisted to
+    parquet for the DuckDB oracle, run through the full link_cells phase."""
     from crocodile_spark.config import PipelineConfig
     from crocodile_spark.datagen import (
         el_fixture_to_spark,
@@ -1376,16 +1373,26 @@ def q_el_link(spark, sf_dir):
         make_corpus,
         make_el_fixture,
     )
-    from crocodile_spark.operators.el import link_cells, top_k_results
+    from crocodile_spark.operators.el import link_cells
 
     corpus = make_corpus(n_entities=30, pages_per_entity=4, seed=42)
     input_rows = el_fixture_to_spark(spark, make_el_fixture(corpus, n_rows=25, seed=43))
-    # ambiguous KB: planted sibling distractors so cells carry competing
-    # candidates and the feature/ranking math is exercised, not just 1-hit
     kb = kb_to_spark(spark, make_ambiguous_kb(corpus))
     input_rows.write.mode("overwrite").parquet(f"{_EL_ORACLE_DIR}/input_rows.parquet")
-    kb.drop("types").write.mode("overwrite").parquet(f"{_EL_ORACLE_DIR}/kb.parquet")
-    ranked = link_cells(input_rows, kb, PipelineConfig())
+    kb.write.mode("overwrite").parquet(f"{_EL_ORACLE_DIR}/kb.parquet")
+    return link_cells(input_rows, kb, PipelineConfig())
+
+
+def q_el_link(spark, sf_dir):
+    """Full crocodile-parity EL phase on the deterministic synthetic
+    fixture: candidate generation (exact + fuzzy retry + retrieval cap +
+    gold injection) -> X1 features -> W1 mean score -> W2 rank -> top-K
+    slice; the DuckDB oracle replays the entire dataflow value-for-value
+    (reference law: crocodile/feature.py:87-153, processors.py:293-318)."""
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.operators.el import top_k_results
+
+    ranked = _el_ranked(spark)
     return top_k_results(ranked, PipelineConfig()).select(
         "row_id", "col_id", "qid", "rank", F.round("score", 6).alias("score")
     )
@@ -1414,11 +1421,11 @@ _SQL_LEV = (
     "ELSE 1.0 END)"
 )
 
-SQL_EL = f"""
+_EL_CTE = f"""
 WITH input_rows AS (
   SELECT * FROM read_parquet('{_EL_ORACLE_DIR}/input_rows.parquet/*.parquet')
 ), kbn AS (
-  SELECT qid, name, coalesce(description, '') AS descr,
+  SELECT qid, name, types, coalesce(description, '') AS descr,
          coalesce(popularity, 0.0) AS popularity,
          coalesce({_SQL_NORM.format(col="name")}, '') AS name_norm
   FROM read_parquet('{_EL_ORACLE_DIR}/kb.parquet/*.parquet')
@@ -1432,7 +1439,8 @@ WITH input_rows AS (
              CAST(r.row_id AS VARCHAR) || '-' || e.key), 1) AS gold_qid
   FROM input_rows r, unnest(map_entries(r.ne_cols)) AS u(e)
 ), cells AS (
-  SELECT row_id, col_id, {_SQL_NORM.format(col="cell_value")} AS mention_norm,
+  SELECT row_id, col_id, cell_value,
+         {_SQL_NORM.format(col="cell_value")} AS mention_norm,
          context_text, gold_qid
   FROM cells0
   WHERE cell_value IS NOT NULL AND len(trim(cell_value)) > 0
@@ -1501,9 +1509,62 @@ WITH input_rows AS (
                             ORDER BY score DESC, qid ASC) AS rank
   FROM feat
 )
+"""
+
+SQL_EL = _EL_CTE + """
 SELECT row_id, col_id, qid, rank, round(score, 6) AS score
 FROM ranked WHERE rank <= 5
 """
+
+
+def q_j7_cell_data(spark, sf_dir):
+    """J7 result-sync cell_data materialization
+    (backend/app/services/result_sync.py:428-454): the flat per-cell
+    serving table (cell text, top-1 confidence, top-1 candidate's sorted
+    type ids) that P7/P8/W5/W6 read; oracle replays it off the shared EL
+    fixture CTE."""
+    from crocodile_spark.operators.el import build_cell_data
+
+    cd = build_cell_data(_el_ranked(spark))
+    return cd.select(
+        "row_id",
+        "col_id",
+        "cell_text",
+        F.round("confidence", 6).alias("confidence"),
+        F.concat_ws(",", "types").alias("type_ids"),
+    )
+
+
+SQL_J7 = _EL_CTE + """
+SELECT r.row_id, r.col_id, c.cell_value AS cell_text,
+       round(r.score, 6) AS confidence,
+       array_to_string(list_sort(list_transform(k.types, t -> t.id)), ',') AS type_ids
+FROM ranked r
+JOIN cells c ON c.row_id = r.row_id AND c.col_id = r.col_id
+JOIN kbn k USING (qid)
+WHERE r.rank = 1
+"""
+
+
+def q_s3_json_ingest(spark, sf_dir):
+    """S3 JSON rows ingest (backend/app/endpoints/crocodile_api.py:39-115,
+    data_service.py:164-186), distributed form: JSON objects {col->val} ->
+    data array<string> in header order via from_json (JVM-side; the JSON
+    never reaches the driver). The query round-trips the documents table
+    through to_json/from_json; the oracle checks the recovered values."""
+    from crocodile_spark.sources.tabular import parse_json_rows
+
+    d = _t(spark, sf_dir, "documents")
+    js = d.select(F.to_json(F.struct("doc_id", "source", "lang")).alias("json"))
+    parsed = parse_json_rows(js, ["doc_id", "source", "lang"])
+    return parsed.select(
+        F.element_at("data", 1).cast("long").alias("row_key"),
+        F.element_at("data", 2).alias("source"),
+        F.element_at("data", 3).alias("lang"),
+    )
+
+
+SQL_S3 = "SELECT doc_id AS row_key, source, lang FROM documents"
 
 
 _ER_ORACLE_DIR = "/tmp/croco_spark_er_oracle"
@@ -1627,6 +1688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "er_pipeline_clusters": q_er_pipeline_clusters,
+    "s3_json_ingest": q_s3_json_ingest,
+    "j7_cell_data": q_j7_cell_data,
 }
 
 ORACLES: dict[str, str] = {
@@ -1674,5 +1737,7 @@ ORACLES: dict[str, str] = {
     "el_link": SQL_EL,
     "er_pipeline_clusters": SQL_ER_CLUSTERS,
     "annotation_round": SQL_ANNOTATION,
+    "s3_json_ingest": SQL_S3,
+    "j7_cell_data": SQL_J7,
     # multimodal: rows-only by design (opaque binary plumbing)
 }

@@ -47,6 +47,89 @@ def read_pandas(spark: SparkSession, pdf: pd.DataFrame, schema=None) -> DataFram
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def json_rows_to_input_rows(
+    spark: SparkSession,
+    header: list[str],
+    rows: list[dict],
+    client_id: str = "c1",
+    dataset_name: str = "ds1",
+    table_name: str = "t1",
+) -> DataFrame:
+    """S3 JSON rows ingest, REST-body form: ``{header, data: [{col->val}]}``
+    -> the canonical input_rows shape (data array<string> in header order,
+    sequential row_id), mirroring backend/app/endpoints/crocodile_api.py:
+    39-115 + data_service.py:164-186. Missing columns -> null; NaN/Inf
+    scrubbed to null (F11 law, backend/app/services/utils.py:10-30).
+
+    The REST body is driver-side by nature (like the reference's request
+    handler); for data-scale JSON use ``parse_json_rows`` over a
+    distributed string column instead.
+    """
+    import math
+
+    def scrub(v):
+        if v is None:
+            return None
+        if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+            return None
+        return str(v)
+
+    payload = [
+        (client_id, dataset_name, table_name, i, [scrub(r.get(c)) for c in header])
+        for i, r in enumerate(rows)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("client_id", T.StringType(), False),
+            T.StructField("dataset_name", T.StringType(), False),
+            T.StructField("table_name", T.StringType(), False),
+            T.StructField("row_id", T.IntegerType(), False),
+            T.StructField("data", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    return spark.createDataFrame(payload, schema)
+
+
+def parse_json_rows(df: DataFrame, header: list[str], json_col: str = "json") -> DataFrame:
+    """S3, distributed form: a string column of JSON objects {col->val} ->
+    ``data array<string>`` in header order (missing keys -> null). The JSON
+    never reaches the driver; from_json is JVM-side."""
+    schema = T.StructType([T.StructField(c, T.StringType(), True) for c in header])
+    parsed = df.withColumn("_r", F.from_json(F.col(json_col), schema))
+    return parsed.withColumn(
+        "data", F.array(*[F.col(f"_r.{c}") for c in header])
+    ).drop("_r")
+
+
+def export_csv_stream(df: DataFrame, batch_rows: int = 256):
+    """S9 streaming enriched-CSV export (crocodile_api.py:1581-1656): a
+    generator of CSV text chunks (header first), bounded driver memory via
+    toLocalIterator -- the serving-side artifact stream, not an engine op.
+    """
+    import csv
+    import io
+
+    cols = df.columns
+
+    def chunks():
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        w.writerow(cols)
+        n = 0
+        for row in df.toLocalIterator():
+            w.writerow(["" if row[c] is None else row[c] for c in cols])
+            n += 1
+            if n >= batch_rows:
+                yield buf.getvalue()
+                buf.seek(0)
+                buf.truncate(0)
+                n = 0
+        if buf.tell():
+            yield buf.getvalue()
+
+    return chunks()
+
+
 def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S8: CSV sink with header; ``single_file`` mirrors the reference's
     one-growing-file behavior (driver-side coalesce -- use only for

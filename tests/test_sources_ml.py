@@ -93,3 +93,87 @@ def test_mlp_rerank_in_spark(spark):
         ranks.sort()
         scores = [s for _, s in ranks]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_s3_json_ingest_feeds_link_cells(spark):
+    """S3 REST-body ingest -> canonical input_rows -> full EL phase."""
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.datagen import corpus_to_spark, make_corpus
+    from crocodile_spark.operators.el import link_cells
+    from crocodile_spark.sources.tabular import json_rows_to_input_rows
+
+    corpus = make_corpus(n_entities=10, pages_per_entity=2, seed=11)
+    _, kb, _ = corpus_to_spark(spark, corpus)
+    ents = corpus.kb_entities.to_dict("records")
+    header = ["name", "year", "note"]
+    rows = [
+        {"name": ents[i]["name"], "year": 1990 + i, "note": float("nan")}
+        for i in range(5)
+    ] + [{"name": None, "year": 1}]  # missing cols + null mention
+    input_rows = json_rows_to_input_rows(spark, header, rows)
+    got = input_rows.orderBy("row_id").collect()
+    assert got[0]["data"] == [ents[0]["name"], "1990", None]  # NaN scrubbed
+    assert got[5]["data"] == [None, "1", None]                # missing key -> null
+    enriched = (
+        input_rows.withColumn(
+            "ne_cols", F.create_map(F.lit("0"), F.lit("OTHER"))
+        )
+        .withColumn("context_cols", F.array(F.lit(0), F.lit(1)))
+        .withColumn(
+            "correct_qids", F.create_map().cast("map<string,string>")
+        )
+    )
+    ranked = link_cells(enriched, kb, PipelineConfig())
+    top1 = {r["row_id"]: r["qid"] for r in ranked.where("rank = 1").collect()}
+    assert len(top1) == 5  # null-mention row dropped by P4, others linked
+    for i in range(5):
+        assert top1[i] == ents[i]["qid"]
+
+
+def test_parse_json_rows_distributed(spark):
+    rows = [('{"a": "x", "b": "1"}',), ('{"b": "2"}',), ("not json",)]
+    df = spark.createDataFrame(rows, "json string")
+    from crocodile_spark.sources.tabular import parse_json_rows
+
+    got = [r["data"] for r in parse_json_rows(df, ["a", "b"]).collect()]
+    assert got == [["x", "1"], [None, "2"], [None, None]]
+
+
+def test_s9_export_csv_stream(spark):
+    from crocodile_spark.sources.tabular import export_csv_stream
+
+    df = spark.range(700).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    chunks = list(export_csv_stream(df, batch_rows=256))
+    assert len(chunks) == 3  # 256 + 256 + 188 rows
+    text = "".join(chunks)
+    lines = text.strip().splitlines()
+    assert lines[0] == "id,val"
+    assert len(lines) == 701
+    assert "42,v42" in lines
+
+
+def test_j7_cell_data_shape(spark):
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.datagen import (
+        corpus_to_spark,
+        el_fixture_to_spark,
+        make_corpus,
+        make_el_fixture,
+    )
+    from crocodile_spark.operators.el import build_cell_data, link_cells
+
+    corpus = make_corpus(n_entities=10, pages_per_entity=2, seed=11)
+    input_rows = el_fixture_to_spark(spark, make_el_fixture(corpus, n_rows=10, seed=12))
+    _, kb, _ = corpus_to_spark(spark, corpus)
+    ranked = link_cells(input_rows, kb, PipelineConfig())
+    cd = build_cell_data(ranked)
+    rows = cd.collect()
+    # exactly one serving row per valid NE cell
+    n_cells = ranked.select("row_id", "col_id").distinct().count()
+    assert len(rows) == n_cells
+    for r in rows:
+        assert r["cell_text"] is not None
+        assert 0.0 <= r["confidence"] <= 1.0
+        assert r["types"] == sorted(r["types"])
