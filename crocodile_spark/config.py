@@ -46,6 +46,8 @@ class PipelineConfig:
     # ---- execution ----
     shuffle_partitions: int = 32
     checkpoint_dir: str | None = None       # lakehouse root; None = in-memory only
+    resume_buckets: int = 4                 # mid-stage resume granularity (Q1/Q2
+                                            # claim-batch analog; SURVEY 7.5)
 
     # feature order: the 19-slot vector law of the reference
     # (reference crocodile/feature.py:10-30 DEFAULT_FEATURES).

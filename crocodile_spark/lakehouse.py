@@ -28,6 +28,19 @@ class StageResult:
     rows: int
     wall_s: float
     resumed: bool
+    recomputed_buckets: list[int] | None = None
+
+
+# our stage names -> reference progress-phase names
+# (crocodile_api.py:1479-1516 reports PREDICTION/ML_PREDICTION/DONE; the
+# Spark pipeline's finer stages map onto the linkage phases below)
+STAGE_PHASES = {
+    "records": "NORMALIZE",
+    "signatures": "BLOCK",
+    "pairs": "BLOCK",
+    "scored": "SCORE",
+    "clusters": "CLUSTER",
+}
 
 
 class Lakehouse:
@@ -58,12 +71,21 @@ class Lakehouse:
             return None
         return self.spark.read.parquet(p)
 
-    def _write_lineage(self, name: str, part_counts: DataFrame, wall_s: float) -> None:
-        new = (
+    def _write_lineage_rows(
+        self, name: str, part_counts: DataFrame, wall_s: float
+    ) -> None:
+        """Plain append of per-partition lineage rows (bucketed mode: each
+        bucket commits exactly one new row, stale rows were removed by
+        invalidate_buckets)."""
+        (
             part_counts.withColumn("stage", F.lit(name))
             .withColumn("wall_s", F.lit(wall_s))
             .withColumn("status", F.lit("DONE"))
+            .write.mode("append")
+            .parquet(self._lineage_path())
         )
+
+    def _write_lineage(self, name: str, part_counts: DataFrame, wall_s: float) -> None:
         p = self._lineage_path()
         existing = self.lineage()
         if (
@@ -74,10 +96,15 @@ class Lakehouse:
             # stage's lineage rows instead of appending a duplicate set
             # (lineage totals would double-count otherwise). Materialize the
             # kept rows before overwriting the directory they were read from.
+            new = (
+                part_counts.withColumn("stage", F.lit(name))
+                .withColumn("wall_s", F.lit(wall_s))
+                .withColumn("status", F.lit("DONE"))
+            )
             kept = existing.where(F.col("stage") != name).localCheckpoint(eager=True)
             kept.unionByName(new).write.mode("overwrite").parquet(p)
         else:
-            new.write.mode("append").parquet(p)
+            self._write_lineage_rows(name, part_counts, wall_s)
 
     # -- stage execution with resume ---------------------------------------
     def run_stage(self, name: str, build) -> StageResult:
@@ -110,6 +137,121 @@ class Lakehouse:
         with open(self._marker(name), "w") as f:
             json.dump({"stage": name, "rows": rows, "wall_s": wall}, f)
         return StageResult(name, out, rows, wall, resumed=False)
+
+    # -- bucketed stage execution: mid-stage (per-partition) resume ---------
+    def _done_buckets(self, name: str) -> set[int]:
+        lin = self.lineage()
+        if lin is None:
+            return set()
+        rows = (
+            lin.where((F.col("stage") == name) & (F.col("status") == "DONE"))
+            .select("partition_id")
+            .collect()
+        )
+        return {int(r["partition_id"]) for r in rows}
+
+    def run_stage_bucketed(
+        self,
+        name: str,
+        input_df: DataFrame,
+        transform,
+        bucket_col: str,
+        n_buckets: int = 4,
+    ) -> StageResult:
+        """Mid-stage resumable execution (SURVEY.md section 7.5, the Q1/Q2
+        claim-queue analog): the input is split into ``n_buckets`` by a
+        hash of ``bucket_col``; each bucket is transformed and committed to
+        its own subdirectory with one lineage row, so a killed run resumes
+        by anti-joining DONE buckets and recomputing ONLY the missing ones.
+
+        Idempotence: a bucket directory is written with mode=overwrite and
+        its lineage row only after the data commit, so a kill at any point
+        (mid-write, or between data commit and lineage write) re-runs that
+        bucket to the identical bytes. ``transform`` must be bucket-local
+        (applied independently per input slice), like the reference's
+        row-batch processor.
+        """
+        path = self._stage_path(name)
+        if self.is_done(name):
+            df = self.spark.read.parquet(path).drop("part_bucket")
+            with open(self._marker(name)) as f:
+                meta = json.load(f)
+            return StageResult(name, df, meta["rows"], 0.0, resumed=True,
+                               recomputed_buckets=[])
+
+        t0 = time.time()
+        done = self._done_buckets(name)
+        missing = [b for b in range(n_buckets) if b not in done]
+        bucket_expr = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+        for b in missing:
+            tb = time.time()
+            out_b = transform(input_df.where(bucket_expr == b))
+            out_b.write.mode("overwrite").parquet(f"{path}/part_bucket={b}")
+            committed = self.spark.read.parquet(f"{path}/part_bucket={b}")
+            part_counts = self.spark.createDataFrame(
+                [(b, committed.count())], "partition_id int, rows long"
+            )
+            self._write_lineage_rows(name, part_counts, time.time() - tb)
+        wall = time.time() - t0
+        out = self.spark.read.parquet(path).drop("part_bucket")
+        rows = out.count()
+        with open(self._marker(name), "w") as f:
+            json.dump({"stage": name, "rows": rows, "wall_s": wall}, f)
+        return StageResult(name, out, rows, wall, resumed=False,
+                           recomputed_buckets=missing)
+
+    def invalidate_buckets(self, name: str, buckets: list[int]) -> None:
+        """Simulate a mid-stage kill: forget specific buckets of a stage
+        (drop their data dirs + lineage rows + the stage DONE marker)."""
+        import shutil
+
+        self.invalidate(name)
+        for b in buckets:
+            shutil.rmtree(f"{self._stage_path(name)}/part_bucket={b}", ignore_errors=True)
+        lin = self.lineage()
+        if lin is None:
+            return
+        kept = lin.where(
+            ~((F.col("stage") == name) & F.col("partition_id").isin(buckets))
+        ).localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(self._lineage_path())
+
+    # -- progress surface (Q7 SSE analog) -----------------------------------
+    def progress_phases(
+        self, expected_stages: tuple = tuple(STAGE_PHASES)
+    ) -> DataFrame:
+        """Q7 progress counters (crocodile_api.py:1479-1516 reports per-phase
+        pending/completed at 1 Hz over SSE): per expected stage, the mapped
+        phase, DONE-partition count, row total, and status; stages with no
+        lineage yet report PENDING with zero counts."""
+        expected = self.spark.createDataFrame(
+            [(s, STAGE_PHASES.get(s, "OTHER")) for s in expected_stages],
+            "stage string, phase string",
+        )
+        lin = self.lineage()
+        if lin is None:
+            return expected.select(
+                "stage",
+                "phase",
+                F.lit(0).cast("long").alias("parts_done"),
+                F.lit(0).cast("long").alias("rows_total"),
+                F.lit("PENDING").alias("status"),
+            )
+        agg = lin.groupBy("stage").agg(
+            F.sum((F.col("status") == "DONE").cast("int")).cast("long").alias(
+                "parts_done"
+            ),
+            F.sum("rows").cast("long").alias("rows_total"),
+        )
+        return expected.join(agg, "stage", "left").select(
+            "stage",
+            "phase",
+            F.coalesce("parts_done", F.lit(0)).cast("long").alias("parts_done"),
+            F.coalesce("rows_total", F.lit(0)).cast("long").alias("rows_total"),
+            F.when(F.col("parts_done") > 0, F.lit("DONE"))
+            .otherwise(F.lit("PENDING"))
+            .alias("status"),
+        )
 
     def invalidate(self, name: str) -> None:
         """Simulate a mid-run kill: forget that a stage completed."""

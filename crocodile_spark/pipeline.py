@@ -56,7 +56,15 @@ def run_pipeline(
             else _pairs_from_sigs(sigs, cfg),
         )
         pairs = p.df
-        sc = lake.run_stage("scored", lambda: score(pairs, sigs, cfg))
+        # scoring is pair-local -> bucketed by url_a for MID-stage resume
+        # (a killed run recomputes only the buckets without lineage rows)
+        sc = lake.run_stage_bucketed(
+            "scored",
+            pairs,
+            lambda bucket: score(bucket, sigs, cfg),
+            bucket_col="url_a",
+            n_buckets=cfg.resume_buckets,
+        )
         scored = sc.df
         cl = lake.run_stage(
             "clusters",
@@ -65,6 +73,8 @@ def run_pipeline(
         clusters = cl.df
         for st in (r, s, p, sc, cl):
             stats[st.name] = {"rows": st.rows, "wall_s": st.wall_s, "resumed": st.resumed}
+            if st.recomputed_buckets is not None:
+                stats[st.name]["recomputed_buckets"] = st.recomputed_buckets
     else:
         # every intermediate feeds >=2 downstream consumers: persist all
         records = normalize_pages(web_pages, use_html).persist()

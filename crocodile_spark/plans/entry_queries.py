@@ -1638,6 +1638,55 @@ FROM assign a JOIN sizes s USING (cluster_id)
 """
 
 
+_Q7_LAKE = "/tmp/croco_spark_q7_lake"
+
+
+def q_q7_progress_phases(spark, sf_dir):
+    """Q7 SSE-progress analog (crocodile_api.py:1479-1516): run the
+    checkpointed pipeline, then surface per-stage phase counters from the
+    per-partition lineage table; the oracle aggregates the same lineage
+    parquet independently."""
+    import shutil
+
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.lakehouse import Lakehouse
+    from crocodile_spark.pipeline import run_pipeline
+
+    shutil.rmtree(_Q7_LAKE, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    wp = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    run_pipeline(spark, wp, PipelineConfig(checkpoint_dir=_Q7_LAKE), use_html=False)
+    return Lakehouse(spark, _Q7_LAKE).progress_phases()
+
+
+SQL_Q7 = f"""
+WITH lin AS (
+  SELECT * FROM read_parquet('{_Q7_LAKE}/_lineage/*.parquet')
+), expected(stage, phase) AS (
+  VALUES ('records', 'NORMALIZE'), ('signatures', 'BLOCK'),
+         ('pairs', 'BLOCK'), ('scored', 'SCORE'), ('clusters', 'CLUSTER')
+), agg AS (
+  SELECT stage,
+         CAST(sum(CASE WHEN status = 'DONE' THEN 1 ELSE 0 END) AS BIGINT)
+             AS parts_done,
+         CAST(sum(rows) AS BIGINT) AS rows_total
+  FROM lin GROUP BY stage
+)
+SELECT e.stage, e.phase,
+       CAST(coalesce(a.parts_done, 0) AS BIGINT) AS parts_done,
+       CAST(coalesce(a.rows_total, 0) AS BIGINT) AS rows_total,
+       CASE WHEN a.parts_done > 0 THEN 'DONE' ELSE 'PENDING' END AS status
+FROM expected e LEFT JOIN agg a USING (stage)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1690,6 +1739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "s3_json_ingest": q_s3_json_ingest,
     "j7_cell_data": q_j7_cell_data,
+    "q7_progress_phases": q_q7_progress_phases,
 }
 
 ORACLES: dict[str, str] = {
@@ -1739,5 +1789,6 @@ ORACLES: dict[str, str] = {
     "annotation_round": SQL_ANNOTATION,
     "s3_json_ingest": SQL_S3,
     "j7_cell_data": SQL_J7,
+    "q7_progress_phases": SQL_Q7,
     # multimodal: rows-only by design (opaque binary plumbing)
 }

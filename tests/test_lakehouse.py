@@ -70,3 +70,59 @@ def test_lineage_rows_written(spark, corpus_dfs, tmp_path):
         for r in lin.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
     }
     assert per_stage["records"] == wp.count()
+
+
+def test_mid_stage_bucket_resume(spark, corpus_dfs, tmp_path):
+    """North-rule literal: per-partition lineage -> a kill INSIDE a stage
+    resumes by recomputing only the missing buckets, to identical output."""
+    wp, _, _ = corpus_dfs
+    root = str(tmp_path / "lake3")
+    cfg = PipelineConfig(shuffle_partitions=4, checkpoint_dir=root, resume_buckets=4)
+
+    out1 = run_pipeline(spark, wp, cfg, use_html=True)
+    scored1 = {
+        (r["url_a"], r["url_b"]): r["is_edge"] for r in out1.scored.collect()
+    }
+    clusters1 = {(r["url"], r["cluster_id"]) for r in out1.clusters.collect()}
+
+    # mid-stage kill: forget buckets 1 and 3 of the scored stage (and all of
+    # clustering, which consumed it)
+    lake = Lakehouse(spark, root)
+    lake.invalidate_buckets("scored", [1, 3])
+    lake.invalidate("clusters")
+
+    out2 = run_pipeline(spark, wp, cfg, use_html=True)
+    # only the killed buckets were recomputed
+    assert out2.stage_stats["scored"]["resumed"] is False
+    assert out2.stage_stats["scored"].get("recomputed_buckets") == [1, 3]
+    assert out2.stage_stats["pairs"]["resumed"] is True
+    scored2 = {
+        (r["url_a"], r["url_b"]): r["is_edge"] for r in out2.scored.collect()
+    }
+    clusters2 = {(r["url"], r["cluster_id"]) for r in out2.clusters.collect()}
+    assert scored1 == scored2
+    assert clusters1 == clusters2
+    # lineage: exactly one row per (scored, bucket), no double-counting
+    lin = lake.lineage()
+    sc_rows = lin.where(F.col("stage") == "scored").collect()
+    assert sorted(int(r["partition_id"]) for r in sc_rows) == [0, 1, 2, 3]
+    assert sum(int(r["rows"]) for r in sc_rows) == len(scored2)
+
+
+def test_progress_phases_surface(spark, corpus_dfs, tmp_path):
+    """Q7 SSE-progress analog: per-stage phase counters over lineage."""
+    wp, _, _ = corpus_dfs
+    root = str(tmp_path / "lake4")
+    lake = Lakehouse(spark, root)
+    # before any run: all PENDING, zero counts
+    pre = {r["stage"]: r for r in lake.progress_phases().collect()}
+    assert all(r["status"] == "PENDING" and r["rows_total"] == 0 for r in pre.values())
+    assert pre["scored"]["phase"] == "SCORE"
+
+    cfg = PipelineConfig(shuffle_partitions=4, checkpoint_dir=root, resume_buckets=2)
+    out = run_pipeline(spark, wp, cfg, use_html=True)
+    post = {r["stage"]: r for r in lake.progress_phases().collect()}
+    assert all(r["status"] == "DONE" for r in post.values())
+    assert post["records"]["rows_total"] == wp.count()
+    assert post["scored"]["parts_done"] == 2  # one lineage row per bucket
+    assert post["clusters"]["rows_total"] == out.clusters.count()
