@@ -63,6 +63,18 @@ def portable_hash64(col, seed: int):
     ).cast("long")
 
 
+def minhash_affine_constants(num_hashes: int, seed: int = 1234) -> list[tuple[int, int]]:
+    """Seeded odd (A_i, B_i) < 2^29 pairs for the portable minhash family
+    h_i = hi*A_i + lo*B_i; shared with the DuckDB oracle generator."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 29) | 1, rng.randrange(1, 1 << 29) | 1)
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature_agg(
     df: DataFrame,
     text_col: str,
@@ -77,7 +89,14 @@ def minhash_signature_agg(
         F.explode(char_ngrams(F.lower(F.col(text_col)), shingle_size)).alias("sh"),
     )
     if portable:
-        hashes = [portable_hash64(F.col("sh"), i) for i in range(num_hashes)]
+        # ONE md5 per shingle, then k affine derivations (hi*A_i + lo*B_i
+        # over the 30-bit halves, < 2^60 so no overflow under ANSI) --
+        # k md5 calls per shingle would dominate the whole query.
+        base = portable_hash64(F.col("sh"), 0)
+        hi = F.shiftright(base, 30)
+        lo = base.bitwiseAND(F.lit((1 << 30) - 1))
+        ab = minhash_affine_constants(num_hashes)
+        hashes = [hi * a + lo * b for a, b in ab]
     else:
         hashes = [F.xxhash64("sh", F.lit(i)) for i in range(num_hashes)]
     return sh.groupBy("id").agg(
@@ -279,6 +298,7 @@ def embedding_near_dup_pairs(
     num_tables: int = 4,
     seed: int = 42,
     max_bucket_size: int = 1024,
+    arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup via banded random-hyperplane LSH.
 
@@ -296,6 +316,7 @@ def embedding_near_dup_pairs(
     from crocodile_spark.operators.similarity_search import (
         embedding_dim,
         hyperplane_table_buckets,
+        hyperplane_table_buckets_udf,
     )
 
     dim = embedding_dim(df, emb_col)
@@ -303,7 +324,12 @@ def embedding_near_dup_pairs(
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
-    buckets = hyperplane_table_buckets(emb_col, dim, num_planes, num_tables, seed)
+    if arrow:
+        buckets = hyperplane_table_buckets_udf(dim, num_planes, num_tables, seed)(
+            F.col(emb_col)
+        )
+    else:
+        buckets = hyperplane_table_buckets(emb_col, dim, num_planes, num_tables, seed)
     b = df.select(F.col(id_col).alias("id"), F.explode(buckets).alias("bucket"))
     sizes = key_count(b, "bucket")
     ok = sizes.where(F.col("count") <= max_bucket_size).select("bucket")

@@ -15,6 +15,7 @@ lsh_topk's cost is bounded by bucket sizes, which are capped.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,6 +89,52 @@ def embedding_dim(df: DataFrame, emb: str) -> int | None:
     return None if dim_row is None else int(dim_row["d"])
 
 
+def hyperplane_table_buckets_udf(
+    dim: int, planes_per_table: int, num_tables: int, seed: int
+):
+    """Arrow-vectorized twin of ``hyperplane_table_buckets``: one numpy
+    matmul per Arrow batch instead of per-plane higher-order-function loops
+    (Spark HOFs are CodegenFallback, i.e. interpreted per row). Identical
+    keys up to fp summation order -- a sign can only differ when
+    |dot| ~ 1e-13, which seeded gaussian planes never produce in practice.
+
+    This is the hot path at scale (dim 768 x dozens of planes: a (batch x
+    dim) @ (dim x planes) matmul); the native-expression twin remains for
+    plan-gated tests and UDF-free deployments.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mats = []
+    luts = []
+    powers = 2 ** np.arange(planes_per_table - 1, -1, -1)
+    for t in range(num_tables):
+        rng = np.random.default_rng(seed + 1000 * t)
+        mats.append(rng.standard_normal((planes_per_table, dim)))
+        luts.append(
+            np.array(
+                [f"t{t}:{i:0{planes_per_table}b}" for i in range(2 ** planes_per_table)],
+                dtype=object,
+            )
+        )
+    allplanes = np.vstack(mats)  # (num_tables * ppt, dim)
+
+    @pandas_udf("array<string>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        M = np.array(emb.tolist(), dtype=np.float64)  # widening cast, exact
+        signs = (M @ allplanes.T) >= 0  # (n, num_tables * ppt)
+        cols = []
+        for t in range(num_tables):
+            seg = signs[:, t * planes_per_table : (t + 1) * planes_per_table]
+            cols.append(luts[t][seg @ powers])
+        stacked = np.stack(cols, axis=1)  # (n, num_tables) of key strings
+        return pd.Series(list(stacked))
+
+    return buckets
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -99,6 +146,7 @@ def lsh_topk(
     num_tables: int = 12,
     seed: int = 42,
     max_bucket_size: int = 4096,
+    arrow: bool = True,
 ) -> DataFrame:
     """ANN top-k: single-pass random-hyperplane LSH bucket join, exact
     cosine within candidates, OR over ``num_tables`` independent tables.
@@ -109,13 +157,20 @@ def lsh_topk(
     carries ids only, vectors are re-joined after the candidate-pair dedup
     so the per-table replication never shuffles the embedding payload.
     Recall grows with num_tables; cost is Sum(bucket pair volume), capped.
+    ``arrow=True`` computes buckets with the vectorized matmul UDF (the
+    scale path); False uses the native-expression twin.
     """
     from crocodile_spark.operators.blocking import key_count
 
     dim = embedding_dim(corpus, emb)
     if dim is None:
         raise ValueError("empty corpus")
-    buckets = hyperplane_table_buckets(emb, dim, num_planes, num_tables, seed)
+    if arrow:
+        buckets = hyperplane_table_buckets_udf(dim, num_planes, num_tables, seed)(
+            F.col(emb)
+        )
+    else:
+        buckets = hyperplane_table_buckets(emb, dim, num_planes, num_tables, seed)
 
     qb = queries.select(F.col(query_id), F.explode(buckets).alias("bucket"))
     cb = corpus.select(F.col(corpus_id), F.explode(buckets).alias("bucket"))

@@ -1178,10 +1178,19 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     )
 
 
-_MH_SIG_AGGS = ", ".join(
-    f"min(CAST(('0x' || substr(md5('{i}:' || sh), 1, 15)) AS BIGINT)) AS mh{i}"
-    for i in range(16)
-)
+def _mh_sig_aggs() -> str:
+    """Portable minhash slots: one md5 base per shingle, affine derivations
+    (must mirror operators.dedup.minhash_signature_agg portable path)."""
+    from crocodile_spark.operators.dedup import minhash_affine_constants
+
+    lo_mask = (1 << 30) - 1
+    return ", ".join(
+        f"min((base >> 30) * {a} + (base & {lo_mask}) * {b}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_affine_constants(16))
+    )
+
+
+_MH_SIG_AGGS = _mh_sig_aggs()
 _MH_BANDS = ", ".join(
     "'b{}:' || substr(md5({}), 1, 16)".format(
         b, " || '_' || ".join(f"CAST(mh{b * 4 + j} AS VARCHAR)" for j in range(4))
@@ -1194,9 +1203,12 @@ _MH_JACCARD = (
     "/ len(list_distinct(list_concat(ga.g, gb.g))) ELSE 0.0 END"
 )
 SQL_MINHASH = f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id AS id, unnest({_SQL_NGRAMS.format(col="lower(text)")}) AS sh
   FROM documents
+), sh AS (
+  SELECT id, CAST(('0x' || substr(md5('0:' || sh), 1, 15)) AS BIGINT) AS base
+  FROM sh0
 ), sig AS (
   SELECT id, {_MH_SIG_AGGS} FROM sh GROUP BY id
 ), bk AS (
@@ -1570,6 +1582,20 @@ SQL_S3 = "SELECT doc_id AS row_key, source, lang FROM documents"
 _ER_ORACLE_DIR = "/tmp/croco_spark_er_oracle"
 
 
+def documents_as_web_pages(spark, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents table to the web_pages input shape
+    (BASELINE.json input_hint): url from (source, doc_id), no html payload."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def q_er_pipeline_clusters(spark, sf_dir):
     """Flagship end-to-end pipeline (normalize -> block -> score -> cluster)
     over the documents table adapted to the web_pages shape. Persists the
@@ -1580,15 +1606,7 @@ def q_er_pipeline_clusters(spark, sf_dir):
     from crocodile_spark.config import PipelineConfig
     from crocodile_spark.pipeline import run_pipeline
 
-    d = _t(spark, sf_dir, "documents")
-    wp = d.select(
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        F.col("text"),
-        F.col("lang"),
-    )
+    wp = documents_as_web_pages(spark, sf_dir)
     out = run_pipeline(spark, wp, PipelineConfig(), use_html=False)
     out.scored.where(F.col("is_edge")).select("url_a", "url_b").write.mode(
         "overwrite"
@@ -1653,15 +1671,7 @@ def q_q7_progress_phases(spark, sf_dir):
     from crocodile_spark.pipeline import run_pipeline
 
     shutil.rmtree(_Q7_LAKE, ignore_errors=True)
-    d = _t(spark, sf_dir, "documents")
-    wp = d.select(
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        F.col("text"),
-        F.col("lang"),
-    )
+    wp = documents_as_web_pages(spark, sf_dir)
     run_pipeline(spark, wp, PipelineConfig(checkpoint_dir=_Q7_LAKE), use_html=False)
     return Lakehouse(spark, _Q7_LAKE).progress_phases()
 
