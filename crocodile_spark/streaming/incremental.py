@@ -47,6 +47,18 @@ def ingest_rate(stream_records: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def dedup_stream(stream_records: DataFrame, within: str = "24 hours") -> DataFrame:
+    """Stateful streaming exact-dedup: drop re-crawled duplicate texts (same
+    F3 row hash) across micro-batches. State is bounded by the watermark --
+    a duplicate arriving later than ``within`` after the original is kept
+    (state for its hash has been evicted), the standard bounded-state
+    tradeoff for infinite streams.
+    """
+    return stream_records.withWatermark("warc_ts", within).dropDuplicatesWithinWatermark(
+        ["row_hash"]
+    )
+
+
 def start_ingest(
     spark: SparkSession,
     input_dir: str,

@@ -87,3 +87,23 @@ def test_blocking_aggregates_are_partial(spark, corpus_dfs):
     # partial_count on the map side, final count after the exchange
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan
+
+
+def test_lsh_topk_scan_count_independent_of_tables(spark):
+    """Single-pass gate: the ANN plan must not rescan the corpus per LSH
+    table (the round-1 shape unioned 12 per-table joins). Scan-node count
+    must be identical for 2 and 12 tables."""
+    from pyspark.sql import functions as F
+
+    from crocodile_spark.operators.similarity_search import lsh_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
+    plans = {}
+    for nt in (2, 12):
+        p = _plan(lsh_topk(q, c, k=5, num_tables=nt))
+        plans[nt] = (p.count("Scan parquet"), p.count("Exchange"))
+    assert plans[2] == plans[12], plans

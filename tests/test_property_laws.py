@@ -142,3 +142,48 @@ def test_monge_elkan_jw_symmetry_and_bounds():
         v = monge_elkan(ta, tb)
         assert 0.0 <= v <= 1.0
         assert math.isclose(v, monge_elkan(tb, ta), abs_tol=1e-12)
+
+
+def test_portable_hash_law_matches_duckdb(spark):
+    """The md5-based portable 60-bit hash and the affine minhash slots must
+    be bit-identical between Spark and DuckDB on randomized inputs -- this
+    is the foundation of the minhash/simhash value oracles."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from crocodile_spark.operators.dedup import (
+        minhash_affine_constants,
+        portable_hash64,
+    )
+
+    rnd = random.Random(99)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 _-'\"é中"
+    vals = [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    ab = minhash_affine_constants(4)
+    base = portable_hash64(F.col("s"), 0)
+    hi, lo = F.shiftright(base, 30), base.bitwiseAND(F.lit((1 << 30) - 1))
+    got = {
+        r["s"]: (r["h"], r["m0"], r["m3"])
+        for r in df.select(
+            "s",
+            base.alias("h"),
+            (hi * ab[0][0] + lo * ab[0][1]).alias("m0"),
+            (hi * ab[3][0] + lo * ab[3][1]).alias("m3"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    lo_mask = (1 << 30) - 1
+    for v in vals:
+        h, m0, m3 = con.execute(
+            "SELECT CAST(('0x' || substr(md5('0:' || ?), 1, 15)) AS BIGINT) AS h,"
+            f" (h >> 30) * {ab[0][0]} + (h & {lo_mask}) * {ab[0][1]},"
+            f" (h >> 30) * {ab[3][0]} + (h & {lo_mask}) * {ab[3][1]}",
+            [v],
+        ).fetchone()
+        assert got[v] == (h, m0, m3), v

@@ -27,3 +27,41 @@ def test_streaming_ingest_exactly_once(spark, corpus_dfs, tmp_path):
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == n
     assert os.path.exists(chk)
+
+
+def test_streaming_dedup_within_watermark(spark, corpus_dfs, tmp_path):
+    """Stateful exact-dedup across micro-batches: a re-crawl of the same
+    text (same row_hash) inside the watermark window is dropped."""
+    from crocodile_spark.streaming.incremental import (
+        dedup_stream,
+        normalize_stream,
+    )
+    from pyspark.sql import functions as F
+
+    wp, _, _ = corpus_dfs
+    src = str(tmp_path / "in2")
+    out = str(tmp_path / "out2")
+    chk = str(tmp_path / "chk2")
+    base = wp.select("url", "warc_ts", "html", "text", "lang").limit(40).cache()
+    # batch 1: originals; batch 2: the same texts re-crawled minutes later
+    base.write.parquet(src + "/b1")
+    base.withColumn("url", F.concat(F.col("url"), F.lit("/recrawl"))).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")
+    ).write.parquet(src + "/b2")
+
+    records = normalize_stream(spark, src + "/*", use_html=True)
+    deduped = dedup_stream(records, within="24 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_hashes = base.count()  # distinct texts
+    assert got.select("row_hash").distinct().count() == got.count()
+    assert got.count() <= n_hashes  # every duplicate hash collapsed
+    assert got.count() >= 1
