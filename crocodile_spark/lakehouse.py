@@ -81,6 +81,7 @@ class Lakehouse:
             part_counts.withColumn("stage", F.lit(name))
             .withColumn("wall_s", F.lit(wall_s))
             .withColumn("status", F.lit("DONE"))
+            .withColumn("ts", F.current_timestamp())
             .write.mode("append")
             .parquet(self._lineage_path())
         )
@@ -100,6 +101,7 @@ class Lakehouse:
                 part_counts.withColumn("stage", F.lit(name))
                 .withColumn("wall_s", F.lit(wall_s))
                 .withColumn("status", F.lit("DONE"))
+                .withColumn("ts", F.current_timestamp())
             )
             kept = existing.where(F.col("stage") != name).localCheckpoint(eager=True)
             kept.unionByName(new).write.mode("overwrite").parquet(p)
@@ -252,6 +254,32 @@ class Lakehouse:
             .otherwise(F.lit("PENDING"))
             .alias("status"),
         )
+
+    def stuck_stages(
+        self, timeout_s: float = 300.0, expected_stages: tuple = tuple(STAGE_PHASES)
+    ) -> list[str]:
+        """Q7 STUCK law (crocodile_api.py:1427-1579): while the pipeline is
+        incomplete, no lineage progress for ``timeout_s`` seconds marks the
+        remaining stages STUCK. Before anything has run there is no
+        progress signal yet -> PENDING, not stuck."""
+        import datetime
+
+        lin = self.lineage()
+        if lin is None:
+            return []
+        done = {
+            r["stage"]
+            for r in lin.where(F.col("status") == "DONE")
+            .select("stage").distinct().collect()
+        }
+        missing = [s for s in expected_stages if s not in done]
+        if not missing:
+            return []
+        last = lin.agg(F.max("ts").alias("t")).collect()[0]["t"]
+        if last is None:
+            return []
+        age = (datetime.datetime.now() - last).total_seconds()
+        return missing if age > timeout_s else []
 
     def invalidate(self, name: str) -> None:
         """Simulate a mid-run kill: forget that a stage completed."""

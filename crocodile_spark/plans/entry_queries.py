@@ -1547,6 +1547,62 @@ def q_j7_cell_data(spark, sf_dir):
     )
 
 
+_W4_WEIGHTS = {
+    "ed_score": 3.0,
+    "jaccard_score": 2.0,
+    "jaccardNgram_score": 2.0,
+    "desc": 1.0,
+    "descNgram": 1.0,
+    "bow_similarity": 1.0,
+    "popularity": 0.5,
+}
+_W4_BIAS = -4.0
+
+
+def q_w4_ml_rerank(spark, sf_dir):
+    """W4/M1: broadcast logistic re-rank of the EL candidates
+    (crocodile/ml.py:166-196). Output is ranks only: sigmoid is monotone in
+    the linear score, so the oracle ranks by the identical linear
+    combination and no exp() float-parity is at stake."""
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.operators.typefreq import ml_rerank
+
+    ranked = _el_ranked(spark)
+    out = ml_rerank(ranked, PipelineConfig(), weights=_W4_WEIGHTS, bias=_W4_BIAS)
+    return out.select("row_id", "col_id", "qid", "ml_rank")
+
+
+SQL_W4 = _EL_CTE.replace(
+    "), ranked AS (",
+    """), featw AS (
+  SELECT row_id, col_id, qid,
+    (-4.0
+     + {lev} * 3.0
+     + {jac} * 2.0
+     + {jacn} * 2.0
+     + {desc_f} * 1.0
+     + {descn} * 1.0
+     + {bow} * 1.0
+     + popularity * 0.5) AS z
+  FROM cc
+), ranked AS (""".format(
+        lev=_SQL_LEV.format(a="mention_norm", b="name_norm"),
+        jac=_SQL_JACCARD.format(a="m_toks", b="n_toks"),
+        jacn=_SQL_JACCARD.format(a="m_grams", b="n_grams"),
+        desc_f=_SQL_JACCARD.format(a="ctx_toks", b="d_toks"),
+        descn=_SQL_JACCARD.format(a="m_grams", b="d_grams"),
+        bow=_SQL_JACCARD.format(
+            a="ctx_toks", b="list_distinct(list_concat(n_toks, d_toks))"
+        ),
+    ),
+) + """
+SELECT row_id, col_id, qid,
+       row_number() OVER (PARTITION BY row_id, col_id
+                          ORDER BY z DESC, qid ASC) AS ml_rank
+FROM featw
+"""
+
+
 SQL_J7 = _EL_CTE + """
 SELECT r.row_id, r.col_id, c.cell_value AS cell_text,
        round(r.score, 6) AS confidence,
@@ -1750,6 +1806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s3_json_ingest": q_s3_json_ingest,
     "j7_cell_data": q_j7_cell_data,
     "q7_progress_phases": q_q7_progress_phases,
+    "w4_ml_rerank": q_w4_ml_rerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -1800,5 +1857,6 @@ ORACLES: dict[str, str] = {
     "s3_json_ingest": SQL_S3,
     "j7_cell_data": SQL_J7,
     "q7_progress_phases": SQL_Q7,
+    "w4_ml_rerank": SQL_W4,
     # multimodal: rows-only by design (opaque binary plumbing)
 }

@@ -126,3 +126,26 @@ def test_progress_phases_surface(spark, corpus_dfs, tmp_path):
     assert post["records"]["rows_total"] == wp.count()
     assert post["scored"]["parts_done"] == 2  # one lineage row per bucket
     assert post["clusters"]["rows_total"] == out.clusters.count()
+
+
+def test_stuck_detection(spark, corpus_dfs, tmp_path):
+    """Q7 STUCK law: incomplete pipeline + no lineage progress within the
+    timeout -> remaining stages reported stuck; fresh lake or fresh
+    progress -> none."""
+    wp, _, _ = corpus_dfs
+    root = str(tmp_path / "lake5")
+    lake = Lakehouse(spark, root)
+    assert lake.stuck_stages(timeout_s=-1.0) == []  # nothing started yet
+
+    # run only the first stage, then stop
+    from crocodile_spark.operators.normalize_stage import normalize_pages
+
+    lake.run_stage("records", lambda: normalize_pages(wp, use_html=True))
+    assert lake.stuck_stages(timeout_s=1e6) == []  # progress is recent
+    stuck = lake.stuck_stages(timeout_s=-1.0)      # force-expire the timer
+    assert stuck == ["signatures", "pairs", "scored", "clusters"]
+
+    # completing everything clears STUCK regardless of timeout
+    cfg = PipelineConfig(shuffle_partitions=4, checkpoint_dir=root, resume_buckets=2)
+    run_pipeline(spark, wp, cfg, use_html=True)
+    assert lake.stuck_stages(timeout_s=-1.0) == []
