@@ -38,6 +38,8 @@ def main() -> None:
     p.add_argument("--max-block-size", type=int, default=64)
     p.add_argument("--threshold", type=float, default=0.42)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--resume-buckets", type=int, default=4,
+                   help="mid-stage resume granularity for the scored stage")
     args = p.parse_args()
 
     from crocodile_spark.config import PipelineConfig
@@ -54,6 +56,7 @@ def main() -> None:
         max_block_size=args.max_block_size,
         score_threshold=args.threshold,
         shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+        resume_buckets=args.resume_buckets,
     )
     web_pages = spark.read.parquet(args.input)
 

@@ -107,3 +107,24 @@ def test_lsh_topk_scan_count_independent_of_tables(spark):
         p = _plan(lsh_topk(q, c, k=5, num_tables=nt))
         plans[nt] = (p.count("Scan parquet"), p.count("Exchange"))
     assert plans[2] == plans[12], plans
+
+
+def test_pipeline_plans_have_no_cartesian_or_forced_broadcast(spark, corpus_dfs):
+    """Scale gates over the four pipeline stage plans: no CartesianProduct
+    anywhere, and no broadcast hint forced on the (data-scale) signature
+    join -- the strategy is AQE's call at runtime."""
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.operators.blocking import block
+    from crocodile_spark.operators.clustering import cluster_records
+    from crocodile_spark.operators.normalize_stage import normalize_pages
+    from crocodile_spark.operators.scoring import score
+
+    wp, _, _ = corpus_dfs
+    cfg = PipelineConfig(shuffle_partitions=4)
+    records = normalize_pages(wp, use_html=False)
+    sigs, pairs = block(records, cfg)
+    scored = score(pairs, sigs, cfg)
+    for df in (records, sigs, pairs, scored):
+        assert "CartesianProduct" not in _plan(df)
+    # AQE is on and pair generation reaches the parquet-free pair join
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
