@@ -1202,8 +1202,7 @@ _MH_JACCARD = (
     "THEN len(list_intersect(ga.g, gb.g)) * 1.0 "
     "/ len(list_distinct(list_concat(ga.g, gb.g))) ELSE 0.0 END"
 )
-SQL_MINHASH = f"""
-WITH sh0 AS (
+_MH_CTE = f"""sh0 AS (
   SELECT doc_id AS id, unnest({_SQL_NGRAMS.format(col="lower(text)")}) AS sh
   FROM documents
 ), sh AS (
@@ -1222,11 +1221,48 @@ WITH sh0 AS (
   FROM bko a JOIN bko b USING (bucket) WHERE a.id < b.id
 ), grams AS (
   SELECT doc_id AS id, {_SQL_NGRAMS.format(col="lower(text)")} AS g FROM documents
+), mh_pairs AS (
+  SELECT c.id_a, c.id_b, {_MH_JACCARD} AS jaccard
+  FROM cand c JOIN grams ga ON ga.id = c.id_a JOIN grams gb ON gb.id = c.id_b
+  WHERE {_MH_JACCARD} >= 0.5
+)"""
+
+SQL_MINHASH = (
+    "WITH " + _MH_CTE
+    + "\nSELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM mh_pairs"
 )
-SELECT c.id_a, c.id_b, round({_MH_JACCARD}, 6) AS jaccard
-FROM cand c JOIN grams ga ON ga.id = c.id_a JOIN grams gb ON gb.id = c.id_b
-WHERE {_MH_JACCARD} >= 0.5
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Transitive keep-first dedup: minhash near-dup pairs as edges ->
+    connected components -> keep the minimum doc_id per cluster (plus all
+    untouched docs). The oracle recomputes the clusters independently via
+    a recursive-CTE closure over the same (portable) pair law."""
+    from crocodile_spark.operators.dedup import dedup_keep_first, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.5, portable=True)
+    kept = dedup_keep_first(d, pairs)
+    return kept.select("doc_id")
+
+
+SQL_DEDUP_KEEP = (
+    "WITH RECURSIVE " + _MH_CTE + """, und AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM mh_pairs
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a
+), cid AS (
+  SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), dropped AS (
+  SELECT id FROM cid WHERE id <> cluster_id
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
 """
+)
 
 
 def _plane_bucket_sql(
@@ -1807,6 +1843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j7_cell_data": q_j7_cell_data,
     "q7_progress_phases": q_q7_progress_phases,
     "w4_ml_rerank": q_w4_ml_rerank,
+    "dedup_keep_first": q_dedup_keep_first,
 }
 
 ORACLES: dict[str, str] = {
@@ -1858,5 +1895,6 @@ ORACLES: dict[str, str] = {
     "j7_cell_data": SQL_J7,
     "q7_progress_phases": SQL_Q7,
     "w4_ml_rerank": SQL_W4,
+    "dedup_keep_first": SQL_DEDUP_KEEP,
     # multimodal: rows-only by design (opaque binary plumbing)
 }
