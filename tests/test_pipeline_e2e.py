@@ -51,3 +51,24 @@ def test_pipeline_deterministic(spark, corpus_dfs):
     a = run_pipeline(spark, wp, cfg, use_html=True).clusters
     b = run_pipeline(spark, wp, cfg, use_html=True).clusters
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pipeline_tolerates_malformed_html(spark):
+    """Web-crawl reality: null payloads, binary junk, unterminated tags,
+    and invalid UTF-8 must flow through normalize -> cluster without
+    aborting (every record keeps a cluster assignment)."""
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.pipeline import run_pipeline
+
+    rows = [
+        ("https://a.com/1", None, None, None, "en"),
+        ("https://a.com/2", None, b"\x00\xff\xfegarbage<<<", None, "en"),
+        ("https://a.com/3", None, "<html><p>ok page".encode(), None, "en"),
+        ("https://a.com/4", None, "<p>caf\xe9".encode("latin-1"), None, None),
+    ]
+    wp = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = run_pipeline(spark, wp, PipelineConfig(shuffle_partitions=4), use_html=True)
+    assert out.clusters.count() == 4
+    assert out.clusters.where("cluster_id IS NULL").count() == 0
