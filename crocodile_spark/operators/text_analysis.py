@@ -94,6 +94,21 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_ws_tokens", ws).withColumn("n_bpe_tokens", bpe)
 
 
+def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash of the full string -- a native
+    aggregate over codepoints, engine-portable (DuckDB replays it with
+    list_reduce; parity incl. unicode + empty string is property-tested).
+    acc stays < mod (~2^31), so acc*base + code never overflows under ANSI.
+    """
+    t = (F.col(col) if isinstance(col, str) else col).cast("string")
+    codes = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * base + c, F.lit(mod)),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", num_slots: int = 4, shingle_size: int = 3
 ) -> DataFrame:

@@ -533,22 +533,33 @@ FROM feat WHERE jaccardNgram_score >= 0.5
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Document fingerprinting: two portable MinHash slots = lexicographic
-    min of md5(seed || shingle) over the doc's char-3-gram set."""
+    """Document fingerprinting: two portable MinHash slots (lexicographic
+    min of md5(seed || shingle) over the doc's char-3-gram set) plus the
+    Rabin-Karp polynomial rolling hash of the full text."""
+    from crocodile_spark.operators.text_analysis import rolling_hash
+
     d = _t(spark, sf_dir, "documents")
     grams = char_ngrams(F.lower(F.col("text")))
     fp = lambda seed: F.array_min(  # noqa: E731
         F.transform(grams, lambda g: F.md5(F.concat(F.lit(seed), g)))
     )
     return d.select(
-        "doc_id", fp("s0:").alias("fp0"), fp("s1:").alias("fp1")
+        "doc_id",
+        fp("s0:").alias("fp0"),
+        fp("s1:").alias("fp1"),
+        rolling_hash(F.col("text")).alias("rh"),
     )
 
 
 SQL_FINGERPRINT = f"""
 SELECT doc_id,
        list_min([md5('s0:' || g) for g in {_SQL_NGRAMS.format(col="lower(text)")}]) AS fp0,
-       list_min([md5('s1:' || g) for g in {_SQL_NGRAMS.format(col="lower(text)")}]) AS fp1
+       list_min([md5('s1:' || g) for g in {_SQL_NGRAMS.format(col="lower(text)")}]) AS fp1,
+       CASE WHEN len(text) = 0 THEN 0 ELSE
+         list_reduce([CAST(unicode(text[i]) AS BIGINT)
+                      for i in range(1, len(text) + 1)],
+                     (a, b) -> (a * 31 + b) % 2147483647)
+       END AS rh
 FROM documents
 """
 

@@ -187,3 +187,32 @@ def test_portable_hash_law_matches_duckdb(spark):
             [v],
         ).fetchone()
         assert got[v] == (h, m0, m3), v
+
+
+def test_rolling_hash_law_matches_duckdb(spark):
+    """Rabin-Karp rolling hash bit-identical between engines on randomized
+    unicode strings (incl. empty)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from crocodile_spark.operators.text_analysis import rolling_hash
+
+    rnd = random.Random(5)
+    alphabet = "abcdefghijklmnopqrstuvwxyz 0123456789_-é中\t'"
+    vals = [""] + [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(1, 60)))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = {r["t"]: r["h"] for r in df.select("t", rolling_hash("t").alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            "SELECT CASE WHEN len(?) = 0 THEN 0 ELSE "
+            "list_reduce([CAST(unicode(?[i]) AS BIGINT) for i in range(1, len(?)+1)],"
+            " (a, b) -> (a*31 + b) % 2147483647) END",
+            [v, v, v],
+        ).fetchone()[0]
+        assert got[v] == want, repr(v)
