@@ -192,6 +192,131 @@ def lsh_topk(
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def seeded_random_centroids(dim: int, n_centroids: int, seed: int):
+    """Untrained random coarse quantizer (seeded gaussians): partitions the
+    space like random projections. Used by the driver query so the DuckDB
+    oracle can inline identical centroid literals without needing data at
+    SQL-generation time; real deployments call train_ivf_centroids."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_centroids, dim))
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    emb: str = "embedding",
+    id_col: str | None = None,
+    n_centroids: int = 16,
+    sample_rows: int = 1024,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Deterministic coarse quantizer: Lloyd k-means on a bounded seeded
+    sample, run driver-side in numpy. Centroids are model metadata (tiny),
+    not data -- the collect is n_centroids x dim floats, the same posture
+    as broadcast scorer weights."""
+    import numpy as np
+
+    cols = corpus.columns
+    order = id_col if id_col and id_col in cols else cols[0]
+    sample = [
+        r["v"]
+        for r in corpus.select(F.col(emb).alias("v"), F.col(order).alias("o"))
+        .orderBy("o")
+        .limit(sample_rows)
+        .collect()
+    ]
+    X = np.array(sample, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = X @ C.T  # cosine-ish assignment on raw dots (vectors ~unit here)
+        a = d.argmax(axis=1)
+        for j in range(len(C)):
+            m = X[a == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+    return C
+
+
+def _ivf_cell(emb: str, centroids) -> "F.Column":
+    """argmax-dot centroid id as a native expression (struct-array max;
+    ties break to the larger id, mirrored in the DuckDB oracle)."""
+    def dot(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col(emb),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    structs = F.array(
+        *[
+            F.struct(dot(c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(structs)["cell"]
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "cand_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows live in their argmax-dot centroid cell;
+    each query probes its ``n_probe`` best cells; exact cosine ranks within
+    the probed candidates. Complements lsh_topk as the brief's second
+    scale path -- cost ~ n_probe/n_centroids of brute force."""
+    def dots_struct_arr():
+        def dot(c):
+            return F.aggregate(
+                F.zip_with(
+                    F.col(emb),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        return F.array(
+            *[
+                F.struct(dot(c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+
+    cb = corpus.select(F.col(corpus_id), _ivf_cell(emb, centroids).alias("cell"))
+    probes = F.slice(F.reverse(F.array_sort(dots_struct_arr())), 1, n_probe)
+    qb = queries.select(
+        F.col(query_id),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
+    )
+    pairs = (
+        qb.join(cb, "cell")
+        .select(query_id, corpus_id)
+        .dropDuplicates([query_id, corpus_id])
+    )
+    sims = (
+        pairs.join(queries.select(F.col(query_id), F.col(emb).alias("_qv")), query_id)
+        .join(corpus.select(F.col(corpus_id), F.col(emb).alias("_cv")), corpus_id)
+        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def recall_at_k(ann: DataFrame, exact: DataFrame, query_id: str = "query_id",
                 corpus_id: str = "cand_id") -> float:
     """Fraction of exact top-k pairs recovered by the ANN result."""

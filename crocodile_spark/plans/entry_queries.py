@@ -1350,6 +1350,76 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _centroid_struct_sql(emb_expr: str, centroids) -> str:
+    """DuckDB list of (dot, cell) structs for the inlined IVF centroids."""
+    items = []
+    for i, c in enumerate(centroids):
+        arr = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        items.append(
+            f"struct_pack(d := list_inner_product({emb_expr}, {arr}), cell := {i})"
+        )
+    return "[" + ", ".join(items) + "]"
+
+
+def q_ivf_ann_cosine(spark, sf_dir):
+    """IVF ANN top-5 (coarse-quantizer cells + n_probe search): the second
+    scale path for similarity search next to LSH. Seeded centroid literals
+    are replayed by the DuckDB oracle."""
+    from crocodile_spark.operators.similarity_search import (
+        ivf_topk,
+        seeded_random_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
+    cents = seeded_random_centroids(64, 16, 7)
+    return ivf_topk(q, c, cents, k=5, n_probe=4).select(
+        "query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _sql_ivf() -> str:
+    from crocodile_spark.operators.similarity_search import seeded_random_centroids
+
+    cents = seeded_random_centroids(64, 16, 7)
+    return f"""
+WITH corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cdots AS (
+  SELECT vec_id, emb, unnest({_centroid_struct_sql("emb", cents)}) AS s FROM corp
+), assign AS (
+  SELECT vec_id, s.cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s.d DESC, s.cell DESC) AS rn
+  FROM cdots
+), cb AS (
+  SELECT vec_id AS cand_id, cell FROM assign WHERE rn = 1
+), qb AS (
+  SELECT vec_id AS query_id, cell FROM assign WHERE rn <= 4 AND vec_id % 20 = 0
+), pairs AS (
+  SELECT DISTINCT query_id, cand_id FROM qb JOIN cb USING (cell)
+), sims AS (
+  SELECT p.query_id, p.cand_id, list_cosine_similarity(q.emb, c.emb) AS cr
+  FROM pairs p
+  JOIN corp q ON q.vec_id = p.query_id
+  JOIN corp c ON c.vec_id = p.cand_id
+), ranked AS (
+  SELECT query_id, cand_id, cr,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cr DESC, cand_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, cand_id, round(cr, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_IVF = _sql_ivf()
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Banded-LSH embedding near-dup (dedup.embedding_near_dup_pairs) over
     the embeddings table plus deterministic planted near-duplicates
@@ -1855,6 +1925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_progress_phases": q_q7_progress_phases,
     "w4_ml_rerank": q_w4_ml_rerank,
     "dedup_keep_first": q_dedup_keep_first,
+    "ivf_ann_cosine": q_ivf_ann_cosine,
 }
 
 ORACLES: dict[str, str] = {
@@ -1907,5 +1978,6 @@ ORACLES: dict[str, str] = {
     "q7_progress_phases": SQL_Q7,
     "w4_ml_rerank": SQL_W4,
     "dedup_keep_first": SQL_DEDUP_KEEP,
+    "ivf_ann_cosine": SQL_IVF,
     # multimodal: rows-only by design (opaque binary plumbing)
 }

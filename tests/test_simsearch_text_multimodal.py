@@ -120,3 +120,25 @@ def test_multimodal_decode_stub_raises(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"x"]), deterministic_fake=False)
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    """IVF with trained centroids: n_probe=6 of 16 cells must recover most
+    of the exact top-5 while comparing far fewer candidates."""
+    from crocodile_spark.operators.similarity_search import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    q = embeddings.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = embeddings.select(F.col("vec_id").alias("cand_id"), "embedding")
+    cents = train_ivf_centroids(c, id_col="cand_id", n_centroids=16, seed=3)
+    exact = brute_force_topk(q, c, k=5)
+    ann = ivf_topk(q, c, cents, k=5, n_probe=6)
+    r = recall_at_k(ann, exact)
+    assert r >= 0.5, f"IVF recall@5 {r:.2f}"
+    # every query produces results and no candidate outside the probed set
+    per_q = ann.groupBy("query_id").count().collect()
+    assert all(row["count"] >= 1 for row in per_q)
