@@ -1720,6 +1720,49 @@ FROM featw
 """
 
 
+def q_serving_page(spark, sf_dir):
+    """Composed serving read over the J7 cell_data table -- the shape the
+    backend's GET endpoints actually execute: text search (P7) + type
+    include filter (P8) + keyset cursor + confidence ordering (W5/W6) in
+    one paginated query."""
+    from crocodile_spark.operators.el import build_cell_data
+
+    cd = build_cell_data(_el_ranked(spark))
+    inc = F.array(F.lit("T1"), F.lit("T2"), F.lit("T3"), F.lit("T4"))
+    cur_conf, cur_row = 0.99, -1
+    page = (
+        cd.where(F.col("cell_text").rlike("[a-z]"))
+        .where(F.arrays_overlap(F.col("types"), inc))
+        .where(
+            (F.col("confidence") < cur_conf)
+            | ((F.col("confidence") == cur_conf) & (F.col("row_id") > cur_row))
+        )
+        .orderBy(F.desc("confidence"), F.asc("row_id"), F.asc("col_id"))
+        .limit(10)
+    )
+    return page.select(
+        "row_id", "col_id", "cell_text", F.round("confidence", 6).alias("confidence")
+    )
+
+
+SQL_SERVING_PAGE = _EL_CTE + """
+, cell_data AS (
+  SELECT r.row_id, r.col_id, c.cell_value AS cell_text, r.score AS confidence,
+         list_sort(list_transform(k.types, t -> t.id)) AS types
+  FROM ranked r
+  JOIN cells c ON c.row_id = r.row_id AND c.col_id = r.col_id
+  JOIN kbn k USING (qid)
+  WHERE r.rank = 1
+)
+SELECT row_id, col_id, cell_text, round(confidence, 6) AS confidence
+FROM cell_data
+WHERE regexp_matches(cell_text, '[a-z]')
+  AND list_has_any(types, ['T1', 'T2', 'T3', 'T4'])
+  AND (confidence < 0.99 OR (confidence = 0.99 AND row_id > -1))
+ORDER BY confidence DESC, row_id ASC, col_id ASC LIMIT 10
+"""
+
+
 SQL_J7 = _EL_CTE + """
 SELECT r.row_id, r.col_id, c.cell_value AS cell_text,
        round(r.score, 6) AS confidence,
@@ -1926,6 +1969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w4_ml_rerank": q_w4_ml_rerank,
     "dedup_keep_first": q_dedup_keep_first,
     "ivf_ann_cosine": q_ivf_ann_cosine,
+    "serving_page": q_serving_page,
 }
 
 ORACLES: dict[str, str] = {
@@ -1979,5 +2023,6 @@ ORACLES: dict[str, str] = {
     "w4_ml_rerank": SQL_W4,
     "dedup_keep_first": SQL_DEDUP_KEEP,
     "ivf_ann_cosine": SQL_IVF,
+    "serving_page": SQL_SERVING_PAGE,
     # multimodal: rows-only by design (opaque binary plumbing)
 }
