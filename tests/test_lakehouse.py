@@ -149,3 +149,20 @@ def test_stuck_detection(spark, corpus_dfs, tmp_path):
     cfg = PipelineConfig(shuffle_partitions=4, checkpoint_dir=root, resume_buckets=2)
     run_pipeline(spark, wp, cfg, use_html=True)
     assert lake.stuck_stages(timeout_s=-1.0) == []
+
+
+def test_bucketed_stage_with_empty_buckets(spark, tmp_path):
+    """A bucket with zero input rows must commit cleanly (schema-only
+    parquet) and resume like any other."""
+    root = str(tmp_path / "lake6")
+    lake = Lakehouse(spark, root)
+    df = spark.createDataFrame([("only-one-key", 1)], "url string, v int")
+    res = lake.run_stage_bucketed(
+        "s", df, lambda b: b.selectExpr("url", "v * 2 AS v2"), "url", n_buckets=8
+    )
+    assert res.rows == 1
+    assert len(res.recomputed_buckets) == 8  # all ran, 7 empty
+    res2 = lake.run_stage_bucketed(
+        "s", df, lambda b: b.selectExpr("url", "v * 2 AS v2"), "url", n_buckets=8
+    )
+    assert res2.resumed and res2.df.count() == 1
