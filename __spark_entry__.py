@@ -25,8 +25,13 @@ from crocodile_spark.plans.entry_queries import (  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_er_pipeline_clusters(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Uses a private oracle dir so the smoke run can never clobber the
+    parquet the correctness gate's er_pipeline_clusters oracle reads."""
+    return q_er_pipeline_clusters(
+        spark, "/root/testdata/sf0.001", oracle_dir="/tmp/croco_spark_er_entry"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -61,6 +61,9 @@ class Lakehouse:
     def _marker(self, name: str) -> str:
         return os.path.join(self.root, f"_{name}.DONE.json")
 
+    def _bucket_meta(self, name: str) -> str:
+        return os.path.join(self.root, f"_{name}.BUCKETS.json")
+
     # -- lineage -----------------------------------------------------------
     def is_done(self, name: str) -> bool:
         return os.path.exists(self._marker(name))
@@ -81,6 +84,21 @@ class Lakehouse:
             part_counts.withColumn("stage", F.lit(name))
             .withColumn("wall_s", F.lit(wall_s))
             .withColumn("status", F.lit("DONE"))
+            .withColumn("ts", F.current_timestamp())
+            .write.mode("append")
+            .parquet(self._lineage_path())
+        )
+
+    def _write_stage_done_row(self, name: str, wall_s: float) -> None:
+        """Sentinel lineage row (partition_id=-1, rows=0, STAGE_DONE):
+        stage COMPLETION is thereby lineage-expressible. Bucketed stages
+        write per-bucket DONE rows while still incomplete, so 'any DONE row
+        exists' must not be read as stage completion."""
+        row = self.spark.createDataFrame([(-1, 0)], "partition_id int, rows long")
+        (
+            row.withColumn("stage", F.lit(name))
+            .withColumn("wall_s", F.lit(wall_s))
+            .withColumn("status", F.lit("STAGE_DONE"))
             .withColumn("ts", F.current_timestamp())
             .write.mode("append")
             .parquet(self._lineage_path())
@@ -135,6 +153,7 @@ class Lakehouse:
         )
         wall = time.time() - t0
         self._write_lineage(name, part_counts, wall)
+        self._write_stage_done_row(name, wall)
         rows = out.count()
         with open(self._marker(name), "w") as f:
             json.dump({"stage": name, "rows": rows, "wall_s": wall}, f)
@@ -182,6 +201,26 @@ class Lakehouse:
                                recomputed_buckets=[])
 
         t0 = time.time()
+        # a resume with a DIFFERENT bucket count would replay stale pmod-K
+        # dirs against a pmod-N range (silently losing or duplicating rows):
+        # detect via the persisted bucket meta and restart the stage clean.
+        meta_path = self._bucket_meta(name)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                recorded = json.load(f).get("n_buckets")
+            if recorded != n_buckets:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+                lin = self.lineage()
+                if lin is not None:
+                    kept = lin.where(F.col("stage") != name).localCheckpoint(
+                        eager=True
+                    )
+                    kept.write.mode("overwrite").parquet(self._lineage_path())
+        with open(meta_path, "w") as f:
+            json.dump({"stage": name, "n_buckets": n_buckets}, f)
+
         done = self._done_buckets(name)
         missing = [b for b in range(n_buckets) if b not in done]
         bucket_expr = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
@@ -197,6 +236,7 @@ class Lakehouse:
         wall = time.time() - t0
         out = self.spark.read.parquet(path).drop("part_bucket")
         rows = out.count()
+        self._write_stage_done_row(name, wall)
         with open(self._marker(name), "w") as f:
             json.dump({"stage": name, "rows": rows, "wall_s": wall}, f)
         return StageResult(name, out, rows, wall, resumed=False,
@@ -244,13 +284,19 @@ class Lakehouse:
                 "parts_done"
             ),
             F.sum("rows").cast("long").alias("rows_total"),
+            F.sum((F.col("status") == "STAGE_DONE").cast("int")).cast("long").alias(
+                "n_complete"
+            ),
         )
+        # three-state law: completion = STAGE_DONE sentinel (bucketed stages
+        # have DONE bucket rows while still incomplete -> IN_PROGRESS)
         return expected.join(agg, "stage", "left").select(
             "stage",
             "phase",
             F.coalesce("parts_done", F.lit(0)).cast("long").alias("parts_done"),
             F.coalesce("rows_total", F.lit(0)).cast("long").alias("rows_total"),
-            F.when(F.col("parts_done") > 0, F.lit("DONE"))
+            F.when(F.coalesce("n_complete", F.lit(0)) > 0, F.lit("DONE"))
+            .when(F.coalesce("parts_done", F.lit(0)) > 0, F.lit("IN_PROGRESS"))
             .otherwise(F.lit("PENDING"))
             .alias("status"),
         )
@@ -269,7 +315,7 @@ class Lakehouse:
             return []
         done = {
             r["stage"]
-            for r in lin.where(F.col("status") == "DONE")
+            for r in lin.where(F.col("status") == "STAGE_DONE")
             .select("stage").distinct().collect()
         }
         missing = [s for s in expected_stages if s not in done]
@@ -282,7 +328,23 @@ class Lakehouse:
         return missing if age > timeout_s else []
 
     def invalidate(self, name: str) -> None:
-        """Simulate a mid-run kill: forget that a stage completed."""
+        """Simulate a mid-run kill: forget that a stage completed (marker
+        plus the STAGE_DONE sentinel lineage row -- per-bucket rows stay,
+        they are the resume state)."""
         m = self._marker(name)
         if os.path.exists(m):
             os.remove(m)
+        lin = self.lineage()
+        if lin is None:
+            return
+        has_sentinel = (
+            lin.where(
+                (F.col("stage") == name) & (F.col("status") == "STAGE_DONE")
+            ).limit(1).count()
+            > 0
+        )
+        if has_sentinel:
+            kept = lin.where(
+                ~((F.col("stage") == name) & (F.col("status") == "STAGE_DONE"))
+            ).localCheckpoint(eager=True)
+            kept.write.mode("overwrite").parquet(self._lineage_path())

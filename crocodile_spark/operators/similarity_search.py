@@ -240,9 +240,10 @@ def train_ivf_centroids(
     return C
 
 
-def _ivf_cell(emb: str, centroids) -> "F.Column":
-    """argmax-dot centroid id as a native expression (struct-array max;
-    ties break to the larger id, mirrored in the DuckDB oracle)."""
+def _ivf_dots_struct(emb: str, centroids):
+    """array<struct<d, cell>> of per-centroid dots -- the one shared law
+    for corpus assignment AND query probing (ties break to the larger
+    cell id on both, mirrored in the DuckDB oracle)."""
     def dot(c):
         return F.aggregate(
             F.zip_with(
@@ -254,13 +255,17 @@ def _ivf_cell(emb: str, centroids) -> "F.Column":
             lambda acc, x: acc + x,
         )
 
-    structs = F.array(
+    return F.array(
         *[
             F.struct(dot(c).alias("d"), F.lit(i).alias("cell"))
             for i, c in enumerate(centroids)
         ]
     )
-    return F.array_max(structs)["cell"]
+
+
+def _ivf_cell(emb: str, centroids) -> "F.Column":
+    """argmax-dot centroid id as a native expression."""
+    return F.array_max(_ivf_dots_struct(emb, centroids))["cell"]
 
 
 def ivf_topk(
@@ -277,27 +282,10 @@ def ivf_topk(
     each query probes its ``n_probe`` best cells; exact cosine ranks within
     the probed candidates. Complements lsh_topk as the brief's second
     scale path -- cost ~ n_probe/n_centroids of brute force."""
-    def dots_struct_arr():
-        def dot(c):
-            return F.aggregate(
-                F.zip_with(
-                    F.col(emb),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-
-        return F.array(
-            *[
-                F.struct(dot(c).alias("d"), F.lit(i).alias("cell"))
-                for i, c in enumerate(centroids)
-            ]
-        )
-
     cb = corpus.select(F.col(corpus_id), _ivf_cell(emb, centroids).alias("cell"))
-    probes = F.slice(F.reverse(F.array_sort(dots_struct_arr())), 1, n_probe)
+    probes = F.slice(
+        F.reverse(F.array_sort(_ivf_dots_struct(emb, centroids))), 1, n_probe
+    )
     qb = queries.select(
         F.col(query_id),
         F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),

@@ -131,6 +131,12 @@ def ml_rerank(
          if c in df.columns),
         F.lit(float(bias)),
     )
-    out = df.withColumn("ml_score", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
-    w_rank = Window.partitionBy(*CELL_KEY).orderBy(F.desc("ml_score"), F.asc("qid"))
-    return out.withColumn("ml_rank", F.row_number().over(w_rank))
+    out = df.withColumn("_z", z).withColumn(
+        "ml_score", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z")))
+    )
+    # rank by the LINEAR score: sigmoid is monotone but not injective in
+    # float64, so ordering by ml_score could tie two candidates whose z
+    # differ by a few ulp and fall back to the qid tie-break while an
+    # exact-z comparison (e.g. the DuckDB oracle) would not
+    w_rank = Window.partitionBy(*CELL_KEY).orderBy(F.desc("_z"), F.asc("qid"))
+    return out.withColumn("ml_rank", F.row_number().over(w_rank)).drop("_z")

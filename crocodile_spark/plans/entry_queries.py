@@ -1313,7 +1313,11 @@ def q_ann_lsh_cosine(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
-    return lsh_topk(q, c, k=5).select(
+    # arrow=False: the native-expression buckets reproduce the oracle's
+    # sequential dot-product summation exactly (the Arrow matmul twin is
+    # the bench/production path; a near-orthogonal vector could flip one
+    # sign bit between numpy's pairwise and DuckDB's sequential sums)
+    return lsh_topk(q, c, k=5, arrow=False).select(
         "query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 
@@ -1440,7 +1444,8 @@ def q_embedding_near_dup(spark, sf_dir):
         ),
     )
     corp = base.unionByName(pert)
-    pairs = embedding_near_dup_pairs(corp, threshold=0.98, num_tables=6)
+    # arrow=False for exact summation-order parity with the oracle
+    pairs = embedding_near_dup_pairs(corp, threshold=0.98, num_tables=6, arrow=False)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1812,13 +1817,15 @@ def documents_as_web_pages(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def q_er_pipeline_clusters(spark, sf_dir):
+def q_er_pipeline_clusters(spark, sf_dir, oracle_dir: str = _ER_ORACLE_DIR):
     """Flagship end-to-end pipeline (normalize -> block -> score -> cluster)
     over the documents table adapted to the web_pages shape. Persists the
     accepted match edges + record urls so the DuckDB oracle can recompute
     connected components INDEPENDENTLY (recursive-CTE transitive closure,
     cluster_id = min member, singletons = own url) and value-check the
-    large-star/small-star implementation."""
+    large-star/small-star implementation. ``oracle_dir`` lets other callers
+    (the driver's entry() smoke at a different sf) avoid clobbering the
+    parquet the correctness oracle is about to read."""
     from crocodile_spark.config import PipelineConfig
     from crocodile_spark.pipeline import run_pipeline
 
@@ -1826,9 +1833,9 @@ def q_er_pipeline_clusters(spark, sf_dir):
     out = run_pipeline(spark, wp, PipelineConfig(), use_html=False)
     out.scored.where(F.col("is_edge")).select("url_a", "url_b").write.mode(
         "overwrite"
-    ).parquet(f"{_ER_ORACLE_DIR}/edges.parquet")
+    ).parquet(f"{oracle_dir}/edges.parquet")
     out.records.select("url").write.mode("overwrite").parquet(
-        f"{_ER_ORACLE_DIR}/urls.parquet"
+        f"{oracle_dir}/urls.parquet"
     )
     sizes = out.clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -1902,13 +1909,17 @@ WITH lin AS (
   SELECT stage,
          CAST(sum(CASE WHEN status = 'DONE' THEN 1 ELSE 0 END) AS BIGINT)
              AS parts_done,
-         CAST(sum(rows) AS BIGINT) AS rows_total
+         CAST(sum(rows) AS BIGINT) AS rows_total,
+         CAST(sum(CASE WHEN status = 'STAGE_DONE' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_complete
   FROM lin GROUP BY stage
 )
 SELECT e.stage, e.phase,
        CAST(coalesce(a.parts_done, 0) AS BIGINT) AS parts_done,
        CAST(coalesce(a.rows_total, 0) AS BIGINT) AS rows_total,
-       CASE WHEN a.parts_done > 0 THEN 'DONE' ELSE 'PENDING' END AS status
+       CASE WHEN coalesce(a.n_complete, 0) > 0 THEN 'DONE'
+            WHEN coalesce(a.parts_done, 0) > 0 THEN 'IN_PROGRESS'
+            ELSE 'PENDING' END AS status
 FROM expected e LEFT JOIN agg a USING (stage)
 """
 

@@ -96,8 +96,9 @@ def parse_json_rows(df: DataFrame, header: list[str], json_col: str = "json") ->
     never reaches the driver; from_json is JVM-side."""
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in header])
     parsed = df.withColumn("_r", F.from_json(F.col(json_col), schema))
+    # getField, not F.col(f"_r.{c}"): header names may contain dots
     return parsed.withColumn(
-        "data", F.array(*[F.col(f"_r.{c}") for c in header])
+        "data", F.array(*[F.col("_r").getField(c) for c in header])
     ).drop("_r")
 
 

@@ -60,10 +60,12 @@ def test_lineage_rows_written(spark, corpus_dfs, tmp_path):
     assert lin is not None
     stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
     assert stages == {"records", "signatures", "pairs", "scored", "clusters"}
-    # per-partition rows with counts and wall time, all DONE
+    # per-partition rows with counts and wall time: DONE bucket rows plus
+    # one STAGE_DONE completion sentinel per stage (rows=0)
     row = lin.first()
     assert set(lin.columns) >= {"partition_id", "rows", "stage", "wall_s", "status"}
-    assert lin.where(F.col("status") != "DONE").count() == 0
+    assert lin.where(~F.col("status").isin("DONE", "STAGE_DONE")).count() == 0
+    assert lin.where(F.col("status") == "STAGE_DONE").count() == 5
     # lineage row counts sum to stage row counts
     per_stage = {
         r["stage"]: r["total"]
@@ -102,9 +104,11 @@ def test_mid_stage_bucket_resume(spark, corpus_dfs, tmp_path):
     clusters2 = {(r["url"], r["cluster_id"]) for r in out2.clusters.collect()}
     assert scored1 == scored2
     assert clusters1 == clusters2
-    # lineage: exactly one row per (scored, bucket), no double-counting
+    # lineage: exactly one DONE row per (scored, bucket), no double-counting
     lin = lake.lineage()
-    sc_rows = lin.where(F.col("stage") == "scored").collect()
+    sc_rows = lin.where(
+        (F.col("stage") == "scored") & (F.col("status") == "DONE")
+    ).collect()
     assert sorted(int(r["partition_id"]) for r in sc_rows) == [0, 1, 2, 3]
     assert sum(int(r["rows"]) for r in sc_rows) == len(scored2)
 
@@ -166,3 +170,40 @@ def test_bucketed_stage_with_empty_buckets(spark, tmp_path):
         "s", df, lambda b: b.selectExpr("url", "v * 2 AS v2"), "url", n_buckets=8
     )
     assert res2.resumed and res2.df.count() == 1
+
+
+def test_bucket_count_change_restarts_stage_clean(spark, tmp_path):
+    """Resuming with a different n_buckets must NOT replay stale pmod-K
+    dirs against a pmod-N range (silent loss/duplication): the stage
+    restarts from scratch."""
+    root = str(tmp_path / "lake7")
+    lake = Lakehouse(spark, root)
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS url", "id AS v")
+    tf = lambda b: b.selectExpr("url", "v * 2 AS v2")  # noqa: E731
+
+    lake.run_stage_bucketed("s", df, tf, "url", n_buckets=8)
+    # kill: forget completion, keeping the 8 pmod-8 bucket dirs + lineage
+    lake.invalidate("s")
+    # resume with 4 buckets: old partitioning is unusable -> full restart
+    res = lake.run_stage_bucketed("s", df, tf, "url", n_buckets=4)
+    assert res.recomputed_buckets == [0, 1, 2, 3]
+    assert res.df.count() == 100
+    assert res.df.agg(F.sum("v2")).collect()[0][0] == 9900  # no dup/loss
+    lin = lake.lineage()
+    done = lin.where((F.col("stage") == "s") & (F.col("status") == "DONE"))
+    assert sorted(int(r["partition_id"]) for r in done.collect()) == [0, 1, 2, 3]
+
+
+def test_progress_reports_in_progress_for_partial_bucketed_stage(spark, tmp_path):
+    """A bucketed stage with committed buckets but no completion sentinel
+    is IN_PROGRESS, not DONE -- and counts as missing for STUCK."""
+    root = str(tmp_path / "lake8")
+    lake = Lakehouse(spark, root)
+    df = spark.range(40).selectExpr("CAST(id AS STRING) AS url", "id AS v")
+    lake.run_stage_bucketed("scored", df, lambda b: b, "url", n_buckets=4)
+    # forget completion but keep all bucket rows (kill between last bucket
+    # commit and the sentinel/marker write)
+    lake.invalidate("scored")
+    st = {r["stage"]: r["status"] for r in lake.progress_phases().collect()}
+    assert st["scored"] == "IN_PROGRESS"
+    assert "scored" in lake.stuck_stages(timeout_s=-1.0)

@@ -139,6 +139,6 @@ def test_ivf_topk_recall(spark, embeddings):
     ann = ivf_topk(q, c, cents, k=5, n_probe=6)
     r = recall_at_k(ann, exact)
     assert r >= 0.5, f"IVF recall@5 {r:.2f}"
-    # every query produces results and no candidate outside the probed set
-    per_q = ann.groupBy("query_id").count().collect()
-    assert all(row["count"] >= 1 for row in per_q)
+    # every query produces results (compare against the query COUNT --
+    # a groupBy over the output alone can never catch an absent query)
+    assert ann.select("query_id").distinct().count() == q.count()
