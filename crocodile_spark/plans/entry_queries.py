@@ -1779,6 +1779,33 @@ WHERE r.rank = 1
 """
 
 
+def q_sql_api_summary(spark, sf_dir):
+    """SQL-text entry point: the engine accepts spark.sql(...) over
+    registered views, not just the DataFrame API -- per-(source, lang) doc
+    counts and average text length with a HAVING filter."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(length(text)), 6) AS avg_len
+        FROM documents_v
+        GROUP BY source, lang
+        HAVING count(*) >= 3
+        """
+    )
+
+
+SQL_SQL_API = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(length(text)), 6) AS avg_len
+FROM documents
+GROUP BY source, lang
+HAVING count(*) >= 3
+"""
+
+
 def q_s3_json_ingest(spark, sf_dir):
     """S3 JSON rows ingest (backend/app/endpoints/crocodile_api.py:39-115,
     data_service.py:164-186), distributed form: JSON objects {col->val} ->
@@ -1981,6 +2008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_first": q_dedup_keep_first,
     "ivf_ann_cosine": q_ivf_ann_cosine,
     "serving_page": q_serving_page,
+    "sql_api_summary": q_sql_api_summary,
 }
 
 ORACLES: dict[str, str] = {
@@ -2035,5 +2063,6 @@ ORACLES: dict[str, str] = {
     "dedup_keep_first": SQL_DEDUP_KEEP,
     "ivf_ann_cosine": SQL_IVF,
     "serving_page": SQL_SERVING_PAGE,
+    "sql_api_summary": SQL_SQL_API,
     # multimodal: rows-only by design (opaque binary plumbing)
 }

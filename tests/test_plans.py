@@ -128,3 +128,27 @@ def test_pipeline_plans_have_no_cartesian_or_forced_broadcast(spark, corpus_dfs)
         assert "CartesianProduct" not in _plan(df)
     # AQE is on and pair generation reaches the parquet-free pair join
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join primitive for the 100 TB posture: two tables
+    bucketed on the join key (the Iceberg bucket(url) analog) sort-merge
+    join with NO Exchange on either side."""
+    import uuid
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        a = spark.range(0, 10000).selectExpr("CAST(id AS STRING) AS url", "id AS va")
+        b = spark.range(0, 10000).selectExpr("CAST(id AS STRING) AS url", "id AS vb")
+        for name, df in (("ta", a), ("tb", b)):
+            (df.write.bucketBy(8, "url").sortBy("url")
+               .saveAsTable(f"{db}.{name}", format="parquet", mode="overwrite"))
+        j = spark.table(f"{db}.ta").join(spark.table(f"{db}.tb"), "url")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+        # bucketing makes both sides pre-partitioned: no shuffle anywhere
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == 10000
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
