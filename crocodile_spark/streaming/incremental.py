@@ -59,6 +59,54 @@ def dedup_stream(stream_records: DataFrame, within: str = "24 hours") -> DataFra
     )
 
 
+def host_crawl_stats(stream_records: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: per
+    host, a running (pages_total, first_ts, last_ts) accumulator that
+    survives across micro-batches -- the crawl-budget counter a 100 TB
+    ingest would use to throttle hot hosts. Arrow-batched; state is one
+    tiny tuple per host.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "host string, pages_total long, first_ts timestamp, last_ts timestamp"
+    )
+    state_schema = "pages_total long, first_ts timestamp, last_ts timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        total, first_ts, last_ts = (
+            state.get if state.exists else (0, None, None)
+        )
+        for pdf in pdfs:
+            total += len(pdf)
+            ts = pd.to_datetime(pdf["warc_ts"])
+            if len(ts):
+                mn, mx = ts.min(), ts.max()
+                first_ts = mn if first_ts is None else min(first_ts, mn)
+                last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((total, first_ts, last_ts))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "pages_total": [total],
+                "first_ts": [first_ts],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return (
+        stream_records.groupBy("host")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def start_ingest(
     spark: SparkSession,
     input_dir: str,

@@ -65,3 +65,53 @@ def test_streaming_dedup_within_watermark(spark, corpus_dfs, tmp_path):
     assert got.select("row_hash").distinct().count() == got.count()
     assert got.count() <= n_hashes  # every duplicate hash collapsed
     assert got.count() >= 1
+
+
+def test_host_crawl_stats_state_across_batches(spark, corpus_dfs, tmp_path):
+    """applyInPandasWithState: the per-host accumulator must carry state
+    ACROSS micro-batches (maxFilesPerTrigger=1 forces multiple), ending at
+    the exact per-host totals."""
+    from pyspark.sql import functions as F
+
+    from crocodile_spark.streaming.incremental import (
+        WEB_PAGES_SCHEMA,
+        host_crawl_stats,
+    )
+    from crocodile_spark.operators.normalize_stage import normalize_pages
+
+    wp, _, _ = corpus_dfs
+    src = str(tmp_path / "in3")
+    base = wp.select("url", "warc_ts", "html", "text", "lang").limit(60).cache()
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    half_a = base.where(F.xxhash64("url") % 2 == 0)
+    half_b = base.where(F.xxhash64("url") % 2 != 0)
+    half_a.coalesce(1).write.parquet(src + "/f1")
+    half_b.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    stats = host_crawl_stats(normalize_pages(stream, use_html=True))
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("host_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per host = final cumulative count
+    got = (
+        spark.table("host_stats")
+        .groupBy("host")
+        .agg(F.max("pages_total").alias("total"))
+    )
+    expected = (
+        normalize_pages(base, use_html=True).groupBy("host").count()
+    )
+    diff = got.join(expected, "host").where(F.col("total") != F.col("count"))
+    assert expected.count() > 0
+    assert diff.count() == 0
+    assert got.count() == expected.count()
