@@ -54,12 +54,22 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    # informational timings (excluded from the comparable 12-query total):
-    # the single-pass ANN path and the portable minhash near-dup
-    for name in ("ann_lsh_cosine", "minhash_lsh_dedup"):
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[f"_{name}_sec"] = round(time.time() - t0, 3)
+    # informational timing (excluded from the comparable 12-query total):
+    # the production ANN path (single-pass multi-table LSH, Arrow matmul
+    # buckets -- the driver query pins arrow=False for oracle parity, so
+    # time the scale path directly)
+    from pyspark.sql import functions as F
+
+    from crocodile_spark.operators.similarity_search import lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = e.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cv = e.select(F.col("vec_id").alias("cand_id"), "embedding")
+    t0 = time.time()
+    lsh_topk(qv, cv, k=5, arrow=True).write.format("noop").mode("overwrite").save()
+    timings["_ann_lsh_arrow_sec"] = round(time.time() - t0, 3)
 
     # full ER pipeline (the flagship): time it and derive throughput
     wp = documents_as_web_pages(spark, sf_dir)
