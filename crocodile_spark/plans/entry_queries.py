@@ -1779,6 +1779,82 @@ WHERE r.rank = 1
 """
 
 
+_M2_COLS = ["doc_id", "text", "lang", "source", "crawl_date"]
+
+
+def q_m2_classify_columns(spark, sf_dir):
+    """M2 heuristic column classification over a deterministic documents
+    sample (plus a derived date column so the DATETIME bucket is
+    exercised): NUMBER/DATETIME by regex supermajority, STRING by low
+    cardinality / short values, NE otherwise (operators/classify.py); the
+    resulting ColType buckets are emitted as rows and the oracle replays
+    the same aggregate thresholds in SQL."""
+    from crocodile_spark.operators.classify import classify_columns
+
+    d = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(500)
+    sample = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text").cast("string").alias("text"),
+        F.col("lang").cast("string").alias("lang"),
+        F.col("source").cast("string").alias("source"),
+        F.format_string("2025-01-%02d", F.col("doc_id") % 28 + 1).alias("crawl_date"),
+    )
+    res = classify_columns(sample)
+    rows = []
+    for i in range(len(_M2_COLS)):
+        si = str(i)
+        if si in res["NE"]:
+            rows.append((i, "NE", res["NE"][si]))
+        elif si in res["LIT"]:
+            rows.append((i, "LIT", res["LIT"][si]))
+        else:
+            rows.append((i, "IGNORED", None))
+    return spark.createDataFrame(rows, "col_id int, bucket string, subtype string")
+
+
+def _sql_m2() -> str:
+    from crocodile_spark.operators.classify import DATE_RE, NUMBER_RE
+
+    metrics = []
+    per_col = []
+    for i, c in enumerate(_M2_COLS):
+        v = f"CAST({c} AS VARCHAR)"
+        metrics.append(
+            f"count(CASE WHEN {v} IS NOT NULL AND len(trim({v})) > 0 THEN 1 END) AS nn_{i},\n"
+            f"  count(CASE WHEN regexp_matches({v}, '{NUMBER_RE}') THEN 1 END) AS num_{i},\n"
+            f"  count(CASE WHEN regexp_matches({v}, '{DATE_RE}') THEN 1 END) AS dt_{i},\n"
+            f"  count(DISTINCT {v}) AS card_{i},\n"
+            f"  avg(len({v})) AS len_{i},\n"
+            f"  count(CASE WHEN position(' ' IN {v}) > 0 THEN 1 END) AS mw_{i}"
+        )
+        per_col.append(f"""
+SELECT {i} AS col_id,
+  CASE WHEN nn_{i} = 0 THEN 'IGNORED'
+       WHEN num_{i} * 1.0 / nn_{i} >= 0.8 THEN 'LIT'
+       WHEN dt_{i} * 1.0 / nn_{i} >= 0.8 THEN 'LIT'
+       WHEN mw_{i} * 1.0 / nn_{i} >= 0.5 THEN 'NE'
+       WHEN card_{i} * 1.0 / nn_{i} < 0.1 OR len_{i} < 4 THEN 'LIT'
+       ELSE 'NE' END AS bucket,
+  CASE WHEN nn_{i} = 0 THEN NULL
+       WHEN num_{i} * 1.0 / nn_{i} >= 0.8 THEN 'NUMBER'
+       WHEN dt_{i} * 1.0 / nn_{i} >= 0.8 THEN 'DATETIME'
+       WHEN mw_{i} * 1.0 / nn_{i} >= 0.5 THEN 'OTHER'
+       WHEN card_{i} * 1.0 / nn_{i} < 0.1 OR len_{i} < 4 THEN 'STRING'
+       ELSE 'OTHER' END AS subtype
+FROM m""")
+    return (
+        "WITH s AS (\n"
+        "  SELECT doc_id, text, lang, source,\n"
+        "         printf('2025-01-%02d', doc_id % 28 + 1) AS crawl_date\n"
+        "  FROM documents ORDER BY doc_id LIMIT 500\n"
+        "), m AS (\n  SELECT " + ",\n  ".join(metrics) + "\n  FROM s\n)"
+        + " UNION ALL ".join(per_col)
+    )
+
+
+SQL_M2 = _sql_m2()
+
+
 def q_sql_api_summary(spark, sf_dir):
     """SQL-text entry point: the engine accepts spark.sql(...) over
     registered views, not just the DataFrame API -- per-(source, lang) doc
@@ -2009,6 +2085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_cosine": q_ivf_ann_cosine,
     "serving_page": q_serving_page,
     "sql_api_summary": q_sql_api_summary,
+    "m2_classify_columns": q_m2_classify_columns,
 }
 
 ORACLES: dict[str, str] = {
@@ -2064,5 +2141,6 @@ ORACLES: dict[str, str] = {
     "ivf_ann_cosine": SQL_IVF,
     "serving_page": SQL_SERVING_PAGE,
     "sql_api_summary": SQL_SQL_API,
+    "m2_classify_columns": SQL_M2,
     # multimodal: rows-only by design (opaque binary plumbing)
 }
