@@ -75,3 +75,41 @@ def test_facade_reads_csv_path(spark, table_and_kb, tmp_path):
                            columns_type={"NE": {"0": "OTHER"}, "LIT": {}, "IGNORED": []})
     out = croco.run()
     assert len(out) == len(pdf)
+
+
+def test_facade_empty_table_and_all_ignored(spark, table_and_kb):
+    pdf, kb, _, _ = table_and_kb
+    # all-IGNORED classification: no NE cells -> empty enriched extras,
+    # rows preserved
+    croco = CrocodileSpark(
+        input_csv=pdf, kb=kb, spark=spark,
+        columns_type={"NE": {}, "LIT": {}, "IGNORED": ["0", "1", "2"]},
+    )
+    out = croco.run()
+    assert len(out) == len(pdf)
+    assert not [c for c in out.columns if c.endswith("_id") and c != "row_id"]
+
+    # empty input table
+    croco2 = CrocodileSpark(
+        input_csv=pdf.iloc[0:0], kb=kb, spark=spark,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {}, "IGNORED": []},
+    )
+    assert len(croco2.run()) == 0
+
+
+def test_facade_nan_and_missing_cells(spark, table_and_kb):
+    import math
+
+    pdf, kb, _, ents = table_and_kb
+    dirty = pdf.copy()
+    dirty.loc[0, "film"] = float("nan")   # NaN mention -> P4 drop, row kept
+    croco = CrocodileSpark(
+        input_csv=dirty, kb=kb, spark=spark,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {"1": "NUMBER"}, "IGNORED": []},
+    )
+    out = croco.run().sort_values("row_id")
+    assert len(out) == len(dirty)
+    assert out.iloc[0]["0_id"] is None or (
+        isinstance(out.iloc[0]["0_id"], float) and math.isnan(out.iloc[0]["0_id"])
+    )
+    assert out.iloc[1]["0_id"] == ents[1]["qid"]
