@@ -11,22 +11,88 @@ lifecycle on Spark:
      X1 features, W1/W2/W3 ranking)
   -> type frequencies (A1/A2) + typeFreq features (X3)
   -> logistic re-rank (M1/W4)
-  -> export (J6 wide format; S8 CSV on request)
+  -> export (J6 wide format, header-named columns; S8 CSV on request)
 
 The two deliberate deviations from the reference's signature:
 ``entity_retrieval_endpoint``/``token`` are replaced by a ``kb`` DataFrame
 (candidate retrieval is an in-engine blocking join, SURVEY.md S6), and
 ``max_workers``/``ml_ranking_workers`` are absent (Spark owns parallelism).
+
+Scale posture: onboarding is fully distributed for Spark-DataFrame and CSV
+inputs -- the input never round-trips through the driver (no ``toPandas``,
+no per-row Python loop); the canonical ``input_rows`` shape is built with
+native expressions and a partition-offset sequential row id. The pandas
+path exists only for inputs that are already driver-resident by type.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crocodile_spark.config import PipelineConfig
+
+
+def sequential_row_id(df: DataFrame, col: str = "row_id") -> DataFrame:
+    """0-based sequential id in input order, computed distributed.
+
+    The zipWithIndex law without RDDs: per-partition positions via a
+    partition-local window + a broadcast map of cumulative partition
+    offsets (one scalar per partition -- metadata, not data). No global
+    sort, no single-partition shuffle; survives 100x input because the
+    only driver-side object is the per-partition count list.
+    """
+    tagged = df.withColumn("_mono", F.monotonically_increasing_id()).withColumn(
+        "_part", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_part").orderBy("_mono")
+    pos = tagged.withColumn("_pos", F.row_number().over(w) - 1)
+    counts = sorted(
+        (r["_part"], r["n"])
+        for r in tagged.groupBy("_part").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    if not offsets:
+        return df.withColumn(col, F.lit(0))
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    return (
+        pos.withColumn(col, (F.col("_pos") + off_map[F.col("_part")]).cast("int"))
+        .drop("_mono", "_part", "_pos")
+    )
+
+
+def _string_map_lit(d: dict) -> F.Column:
+    """map<string,string> literal (empty-safe; F.create_map() rejects 0 args)."""
+    if not d:
+        return F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+    return F.create_map(
+        *[F.lit(str(x)) for k, v in d.items() for x in (k, v)]
+    )
+
+
+def _int_array_lit(xs: list[int]) -> F.Column:
+    if not xs:
+        return F.array().cast("array<int>")
+    return F.array(*[F.lit(int(i)) for i in xs])
+
+
+def _scrub_str(c: str) -> F.Column:
+    """F11 scrub law as a native expression: NaN/Inf (any textual spelling a
+    cast can produce) -> null; everything else -> its string form."""
+    s = F.col(c).cast("string")
+    return F.when(
+        s.isin("NaN", "nan", "Infinity", "-Infinity", "Inf", "-Inf", "inf", "-inf"),
+        F.lit(None).cast("string"),
+    ).otherwise(s)
 
 
 class CrocodileSpark:
@@ -48,11 +114,13 @@ class CrocodileSpark:
     ):
         """``input_csv``: a CSV path, a pandas DataFrame, or a Spark
         DataFrame (the reference accepts path or pandas,
-        crocodile/crocodile.py:193-199). ``columns_type`` is the explicit
-        NE/LIT/IGNORED override (crocodile.py:221-224); omitted -> the M2
-        heuristic classifier runs on a <=1024-row sample (crocodile.py:
-        206-220). ``correct_qids`` maps "{row_id}-{col_idx}" -> gold qid
-        (crocodile.py:260-266)."""
+        crocodile/crocodile.py:193-199). CSV paths and Spark DataFrames
+        onboard fully distributed; a pandas input is by definition already
+        on the driver and is converted once. ``columns_type`` is the
+        explicit NE/LIT/IGNORED override (crocodile.py:221-224); omitted ->
+        the M2 heuristic classifier runs on a <=1024-row sample
+        (crocodile.py:206-220). ``correct_qids`` maps "{row_id}-{col_idx}"
+        -> gold qid (crocodile.py:260-266)."""
         self.spark = spark or SparkSession.active()
         self.kb = kb
         self.client_id = client_id
@@ -69,14 +137,31 @@ class CrocodileSpark:
         )
 
         if isinstance(input_csv, str):
-            self._pdf = pd.read_csv(input_csv)
+            # distributed CSV scan (S1); header preserved in file order
+            self._input = (
+                self.spark.read.option("header", "true").csv(input_csv)
+            )
         elif isinstance(input_csv, pd.DataFrame):
-            self._pdf = input_csv
+            # pandas is driver-resident by type: one conversion, then the
+            # same native onboarding path as every other input
+            pdf = input_csv.astype(object).where(pd.notna(input_csv), None)
+            pdf = pdf.apply(
+                lambda s: s.map(lambda v: None if v is None else str(v))
+            )
+            self._input = self.spark.createDataFrame(
+                pdf,
+                schema=T.StructType(
+                    [
+                        T.StructField(str(c), T.StringType(), True)
+                        for c in input_csv.columns
+                    ]
+                ),
+            )
         elif isinstance(input_csv, DataFrame):
-            self._pdf = input_csv.toPandas()
+            self._input = input_csv
         else:
             raise TypeError("input_csv must be a path, pandas, or Spark DataFrame")
-        self.header: list[str] = [str(c) for c in self._pdf.columns]
+        self.header: list[str] = [str(c) for c in self._input.columns]
 
     # -- onboard -------------------------------------------------------------
     def _classify(self, sample: DataFrame) -> dict:
@@ -86,61 +171,70 @@ class CrocodileSpark:
 
         return classify_columns(sample.limit(1024), columns=self.header)
 
+    def _column_roles(self, typed: DataFrame) -> tuple[dict, list[int]]:
+        """NE map + context column list (cached: classification runs once).
+        Unrecognized columns (present in neither NE nor LIT nor IGNORED of
+        a partial explicit columns_type) are treated as IGNORED before
+        computing context, mirroring the reference's ignored_cols extension
+        (crocodile/crocodile.py:226-231)."""
+        if getattr(self, "_roles", None) is not None:
+            return self._roles
+        cols = self._classify(typed)
+        ne = {str(k): v for k, v in cols.get("NE", {}).items()}
+        lit = {str(k) for k in cols.get("LIT", {})}
+        recognized = set(ne) | lit
+        ignored = {str(i) for i in cols.get("IGNORED", [])} | {
+            str(i) for i in range(len(self.header)) if str(i) not in recognized
+        }
+        context = [i for i in range(len(self.header)) if str(i) not in ignored]
+        self._roles = (ne, context)
+        return self._roles
+
+    def _qid_rows(self) -> DataFrame | None:
+        """correct_qids dict -> (row_id, map) rows for a broadcast join.
+        Gold labels are user-supplied metadata (small by contract, like the
+        reference's correct_qids argument), so parallelizing the dict is the
+        right scale posture."""
+        if not self.correct_qids:
+            return None
+        per_row: dict[int, list[tuple[str, str]]] = {}
+        for k, v in self.correct_qids.items():
+            rid = int(str(k).split("-", 1)[0])
+            per_row.setdefault(rid, []).append((str(k), str(v)))
+        rows = [(rid, dict(kvs)) for rid, kvs in per_row.items()]
+        return self.spark.createDataFrame(
+            rows, "row_id int, correct_qids map<string,string>"
+        )
+
     def onboard(self) -> DataFrame:
         """Input table -> the canonical input_rows shape (data array in
         header order, ne_cols/context_cols per the T1 complement law,
-        correct_qids)."""
-        import math
-
-        def scrub(v):
-            if v is None or (isinstance(v, float) and
-                             (math.isnan(v) or math.isinf(v))):
-                return None
-            return str(v)
-
-        typed = self.spark.createDataFrame(
-            self._pdf.astype(object).where(pd.notna(self._pdf), None),
-            schema=T.StructType(
-                [T.StructField(c, T.StringType(), True) for c in self.header]
-            ),
+        correct_qids) -- built with native expressions end to end; the
+        input DataFrame is never materialized on the driver."""
+        typed = self._input.select(
+            *[F.col(c).cast("string").alias(str(c)) for c in self._input.columns]
         )
-        cols = self._classify(typed)
-        ne = {str(k): v for k, v in cols.get("NE", {}).items()}
-        ignored = {str(i) for i in cols.get("IGNORED", [])}
-        # context = all columns minus IGNORED (T1 law, crocodile.py:226-231)
-        context = [i for i in range(len(self.header)) if str(i) not in ignored]
+        ne, context = self._column_roles(typed)
 
-        rows = []
-        for row_id, rec in enumerate(self._pdf.itertuples(index=False, name=None)):
-            rows.append(
-                (
-                    self.client_id,
-                    self.dataset_name,
-                    self.table_name,
-                    row_id,
-                    [scrub(v) for v in rec],
-                    ne,
-                    context,
-                    {
-                        k: v
-                        for k, v in self.correct_qids.items()
-                        if k.startswith(f"{row_id}-")
-                    },
-                )
-            )
-        schema = T.StructType(
-            [
-                T.StructField("client_id", T.StringType(), False),
-                T.StructField("dataset_name", T.StringType(), False),
-                T.StructField("table_name", T.StringType(), False),
-                T.StructField("row_id", T.IntegerType(), False),
-                T.StructField("data", T.ArrayType(T.StringType()), True),
-                T.StructField("ne_cols", T.MapType(T.StringType(), T.StringType()), True),
-                T.StructField("context_cols", T.ArrayType(T.IntegerType()), True),
-                T.StructField("correct_qids", T.MapType(T.StringType(), T.StringType()), True),
-            ]
+        rows = sequential_row_id(typed)
+        out = rows.select(
+            F.lit(self.client_id).alias("client_id"),
+            F.lit(self.dataset_name).alias("dataset_name"),
+            F.lit(self.table_name).alias("table_name"),
+            F.col("row_id"),
+            F.array(*[_scrub_str(c) for c in self.header]).alias("data"),
+            _string_map_lit(ne).alias("ne_cols"),
+            _int_array_lit(context).alias("context_cols"),
         )
-        return self.spark.createDataFrame(rows, schema)
+        qids = self._qid_rows()
+        if qids is None:
+            return out.withColumn("correct_qids", _string_map_lit({}))
+        return out.join(F.broadcast(qids), "row_id", "left").withColumn(
+            "correct_qids", F.coalesce("correct_qids", _string_map_lit({}))
+        ).select(
+            "client_id", "dataset_name", "table_name", "row_id",
+            "data", "ne_cols", "context_cols", "correct_qids",
+        )
 
     # -- full lifecycle --------------------------------------------------------
     def run(self):
@@ -155,22 +249,38 @@ class CrocodileSpark:
         )
 
         input_rows = self.onboard()
+        ne, _ = self._column_roles(self._input)
         ranked = link_cells(input_rows, self.kb, self.cfg)
         freqs = global_type_frequencies(ranked, self.cfg)
         ranked = attach_type_freq_features(ranked, freqs, self.cfg)
         reranked = ml_rerank(ranked, self.cfg)
-        # W4 law: the ML rank replaces the heuristic rank for el_results
-        final = reranked.withColumn("rank", F.col("ml_rank"))
-        out = export_el(final, input_rows)
+        # W4 law: the ML rank AND score replace the heuristic ones for
+        # el_results -- the reference overwrites each candidate's score with
+        # the ML probability before export and sorts by it (crocodile/
+        # ml.py:183), so the exported {col}_score is the ML confidence.
+        final = reranked.withColumn("rank", F.col("ml_rank")).withColumn(
+            "score", F.col("ml_score")
+        )
+        ne_col_ids = sorted(int(k) for k in ne)
+        out = export_el(final, input_rows, col_ids=ne_col_ids)
         # reference export shape: the ORIGINAL columns (not a data array)
-        # followed by {col}_id/_name/_desc/_score (crocodile.py:448-475)
+        # followed by {header}_id/_name/_desc/_score per NE column with
+        # ''/0 placeholders for unlinked cells (crocodile.py:448-475)
         orig = [
             F.try_element_at("data", F.lit(i + 1)).alias(c)
             for i, c in enumerate(self.header)
         ]
-        rest = [c for c in out.columns if c not in
-                ("client_id", "dataset_name", "table_name", "row_id", "data")]
-        out = out.select("row_id", *orig, *rest)
+        extras = []
+        for idx in ne_col_ids:
+            h = self.header[idx] if idx < len(self.header) else str(idx)
+            for suffix, fill in (
+                ("id", F.lit("")), ("name", F.lit("")),
+                ("desc", F.lit("")), ("score", F.lit(0.0)),
+            ):
+                extras.append(
+                    F.coalesce(F.col(f"{idx}_{suffix}"), fill).alias(f"{h}_{suffix}")
+                )
+        out = out.select("row_id", *orig, *extras)
         if self.save_output_to_csv:
             from crocodile_spark.sources.tabular import export_csv
 

@@ -32,6 +32,11 @@ class PipelineConfig:
     # relative at small corpora, bounded by the block cap at web scale
     mention_df_fraction: float = 0.05
     mention_df_floor: int = 3
+    # EL fuzzy-retry (T5) skew guard: a KB name token indexing more than
+    # this many entries is dropped from the token block key -- it cannot
+    # discriminate within candidate_retrieval_limit and only inflates the
+    # pre-window join (el.py::fuzzy_token_index)
+    fuzzy_token_df_cap: int = 256
 
     # ---- scoring (stage 3) ----
     score_threshold: float = 0.42           # heuristic-mean edge threshold (W1);

@@ -125,6 +125,24 @@ def extract_cells(input_rows: DataFrame) -> DataFrame:
     )
 
 
+def fuzzy_token_index(
+    kbn: DataFrame, kb_columns: list[str], cfg: PipelineConfig
+) -> DataFrame:
+    """(KB row, token) index for the T5 fuzzy retry, DF-capped: tokens
+    naming more than ``cfg.fuzzy_token_df_cap`` entries are excluded (hot
+    tokens carry no retrieval signal and are the one quadratic-join risk in
+    the EL path). The count is a map-side-combined aggregate over ids only;
+    the wide KB row is joined back after the cap filter."""
+    kb_tok = kbn.select(*kb_columns, F.explode("name_tokens").alias("token"))
+    usable = (
+        kb_tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= cfg.fuzzy_token_df_cap)
+        .select("token")
+    )
+    return kb_tok.join(usable, "token", "inner")
+
+
 def generate_candidates(
     cells: DataFrame, kb: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
@@ -143,6 +161,13 @@ def generate_candidates(
     duplicate-mention bug at processors.py:191 is deliberately not
     reproduced). Retrieval is capped at ``candidate_retrieval_limit`` per
     mention by a deterministic retrieval score.
+
+    Skew guard: the token index is DF-capped before the join -- a token
+    naming more than ``cfg.fuzzy_token_df_cap`` KB entries is dropped from
+    the fuzzy block key (same corpus-level-stopword law as
+    blocking.py::distinctive_tokens). Without the cap a hot token ("john",
+    "de") at a 100x KB makes the pre-window join quadratic; a token that
+    hot cannot discriminate within the retrieval cap anyway.
     """
     mentions = cells.select("mention_norm").distinct()
     kbn = kb.withColumn("name_norm", normalize_mention(F.col("name"))).withColumn(
@@ -163,11 +188,8 @@ def generate_candidates(
             "token", F.explode(tokenize(F.col("mention_norm"), remove_stopwords=False))
         )
     )
-    kb_tok = kbn.select(
-        *kb.columns, F.explode("name_tokens").alias("token")
-    )
     fuzzy = (
-        sparse.join(kb_tok, "token", "inner")
+        sparse.join(fuzzy_token_index(kbn, kb.columns, cfg), "token", "inner")
         .select("mention_norm", *kb.columns)
         .distinct()
     )
@@ -290,10 +312,16 @@ def top_k_results(ranked: DataFrame, cfg: PipelineConfig, rank_col: str = "rank"
     return ranked.where(F.col(rank_col) <= cfg.max_candidates_in_result)
 
 
-def export_el(ranked: DataFrame, input_rows: DataFrame) -> DataFrame:
+def export_el(
+    ranked: DataFrame, input_rows: DataFrame, col_ids: list[int] | None = None
+) -> DataFrame:
     """J6 export law (crocodile/crocodile.py:448-475): the top-1 candidate
     per NE column flattened to {col}_id/_name/_desc/_score columns, joined
-    back to the input rows on the row key."""
+    back to the input rows on the row key.
+
+    ``col_ids``: the NE column index list, statically known from the
+    table's ne_cols metadata -- pass it to keep the pivot plan job-free;
+    the ``collect()`` fallback exists only for callers without metadata."""
     key = ["client_id", "dataset_name", "table_name", "row_id"]
     top1 = ranked.where(F.col("rank") == 1).select(
         *key,
@@ -303,7 +331,10 @@ def export_el(ranked: DataFrame, input_rows: DataFrame) -> DataFrame:
         F.col("description"),
         F.col("score"),
     )
-    col_ids = sorted(r["col_id"] for r in top1.select("col_id").distinct().collect())
+    if col_ids is None:
+        col_ids = sorted(
+            r["col_id"] for r in top1.select("col_id").distinct().collect()
+        )
     wide = top1.groupBy(*key).pivot("col_id", col_ids).agg(
         F.first("id").alias("id"),
         F.first("name").alias("name"),

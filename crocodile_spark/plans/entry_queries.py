@@ -1589,8 +1589,13 @@ WITH input_rows AS (
          unnest({_SQL_TOKENS_NOSTOP.format(col="m.mention_norm")}) AS token
   FROM mentions m LEFT JOIN n_exact ne USING (mention_norm)
   WHERE coalesce(ne.n, 0) <= 1
-), kb_tok AS (
+), kb_tok0 AS (
   SELECT qid, unnest({_SQL_TOKENS_NOSTOP.format(col="name")}) AS token FROM kbn
+), kb_tok AS (
+  -- T5 skew guard replay: fuzzy_token_df_cap=256 (el.py::fuzzy_token_index)
+  SELECT t.qid, t.token FROM kb_tok0 t
+  JOIN (SELECT token FROM kb_tok0 GROUP BY token HAVING count(*) <= 256) u
+    USING (token)
 ), fuzzy AS (
   SELECT DISTINCT s.mention_norm, k.qid FROM sparse s JOIN kb_tok k USING (token)
 ), cands0 AS (

@@ -1,12 +1,14 @@
 """Reference-parity facade (README.md:88-111 usage shape): onboard a
-pandas table, run the full EL lifecycle, get the enriched wide table."""
+pandas table, a CSV path, or a Spark DataFrame; run the full EL lifecycle;
+get the enriched wide table with header-named export columns
+(crocodile/crocodile.py:448-475)."""
 
 from __future__ import annotations
 
 import pandas as pd
 import pytest
 
-from crocodile_spark.api import CrocodileSpark
+from crocodile_spark.api import CrocodileSpark, sequential_row_id
 
 
 @pytest.fixture(scope="module")
@@ -42,9 +44,10 @@ def test_facade_run_with_explicit_columns_type(spark, table_and_kb):
     out = croco.run()
     assert isinstance(out, pd.DataFrame)
     assert len(out) == len(pdf)
-    # J6 export shape: {col}_id/_name/_desc/_score for the NE column
-    assert {"0_id", "0_name", "0_desc", "0_score"} <= set(out.columns)
-    top1 = dict(zip(out["row_id"], out["0_id"]))
+    # J6 export shape: header-named {col}_id/_name/_desc/_score for the NE
+    # column (reference names by header, crocodile.py:458-463)
+    assert {"film_id", "film_name", "film_desc", "film_score"} <= set(out.columns)
+    top1 = dict(zip(out["row_id"], out["film_id"]))
     acc = sum(top1[i] == ents[i]["qid"] for i in range(len(ents))) / len(ents)
     assert acc >= 0.9, f"facade top-1 accuracy {acc:.2f}"
 
@@ -61,20 +64,76 @@ def test_facade_heuristic_classification_and_csv(spark, table_and_kb, tmp_path):
     )
     out = croco.run()
     # heuristic M2: 'film' (multi-word names) classified NE -> linked
-    ne_cols = [c for c in out.columns if c.endswith("_id")]
+    ne_cols = [c for c in out.columns if c.endswith("_id") and c != "row_id"]
     assert ne_cols, out.columns
     got = spark.read.option("header", "true").csv(dest)
     assert got.count() == len(pdf)
 
 
 def test_facade_reads_csv_path(spark, table_and_kb, tmp_path):
-    pdf, kb, _, _ = table_and_kb
+    pdf, kb, _, ents = table_and_kb
     p = str(tmp_path / "in.csv")
     pdf.to_csv(p, index=False)
     croco = CrocodileSpark(input_csv=p, kb=kb, spark=spark,
                            columns_type={"NE": {"0": "OTHER"}, "LIT": {}, "IGNORED": []})
     out = croco.run()
     assert len(out) == len(pdf)
+    # CSV onboarding preserves file order -> row_id 0 links to the first row
+    byrow = out.sort_values("row_id")
+    assert byrow.iloc[0]["film_id"] == ents[0]["qid"]
+
+
+def test_facade_spark_dataframe_input_is_distributed(
+    spark, table_and_kb, monkeypatch
+):
+    """Verdict r2 #1: a Spark-DataFrame input must never round-trip
+    through the driver -- onboarding + run with DataFrame.toPandas
+    forbidden end to end (return_dataframe=False)."""
+    from pyspark.sql import DataFrame
+
+    pdf, kb, gold, ents = table_and_kb
+    sdf = spark.createDataFrame(pdf.astype(str))
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver materialization on the facade input path")
+
+    croco = CrocodileSpark(
+        input_csv=sdf, kb=kb, spark=spark,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {"1": "NUMBER"}, "IGNORED": ["2"]},
+        correct_qids=gold, candidate_retrieval_limit=10,
+        return_dataframe=False,
+    )
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    out = croco.run()
+    rows = {r["row_id"]: r["film_id"] for r in out.collect()}
+    acc = sum(rows[i] == ents[i]["qid"] for i in range(len(ents))) / len(ents)
+    assert acc >= 0.9, f"spark-input facade top-1 accuracy {acc:.2f}"
+
+
+def test_facade_pandas_vs_spark_input_parity(spark, table_and_kb):
+    """onboard() emits byte-identical canonical rows for the same table
+    arriving as pandas vs as a Spark DataFrame."""
+    pdf, kb, gold, _ = table_and_kb
+    kw = dict(
+        kb=kb, spark=spark, correct_qids=gold,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {"1": "NUMBER"}, "IGNORED": ["2"]},
+    )
+    a = CrocodileSpark(input_csv=pdf, **kw).onboard()
+    b = CrocodileSpark(input_csv=spark.createDataFrame(pdf.astype(str)), **kw).onboard()
+    ra = sorted(map(repr, a.collect()))
+    rb = sorted(map(repr, b.collect()))
+    assert ra == rb
+
+
+def test_sequential_row_id_is_dense_and_ordered(spark):
+    """zipWithIndex law over 7 partitions: ids are dense 0..N-1 and follow
+    (partition, position) order for order-stable sources like range."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 1000, 1, 7).select(F.col("id").alias("k"))
+    out = sequential_row_id(df).collect()
+    assert sorted(r["row_id"] for r in out) == list(range(1000))
+    assert all(r["row_id"] == r["k"] for r in out)
 
 
 def test_facade_empty_table_and_all_ignored(spark, table_and_kb):
@@ -97,9 +156,27 @@ def test_facade_empty_table_and_all_ignored(spark, table_and_kb):
     assert len(croco2.run()) == 0
 
 
-def test_facade_nan_and_missing_cells(spark, table_and_kb):
-    import math
+def test_facade_partial_columns_type_ignores_unrecognized(spark, table_and_kb):
+    """ADVICE r2: columns listed in neither NE nor LIT nor IGNORED must
+    leave context (crocodile.py:226-231 extends ignored_cols), so the
+    context text excludes them."""
+    pdf, kb, _, _ = table_and_kb
+    partial = CrocodileSpark(
+        input_csv=pdf, kb=kb, spark=spark,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {}, "IGNORED": []},  # 1,2 unlisted
+    )
+    explicit = CrocodileSpark(
+        input_csv=pdf, kb=kb, spark=spark,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {}, "IGNORED": ["1", "2"]},
+    )
+    ra = sorted(map(repr, partial.onboard().collect()))
+    rb = sorted(map(repr, explicit.onboard().collect()))
+    assert ra == rb
+    ctx = partial.onboard().select("context_cols").first()["context_cols"]
+    assert ctx == [0]
 
+
+def test_facade_nan_and_missing_cells(spark, table_and_kb):
     pdf, kb, _, ents = table_and_kb
     dirty = pdf.copy()
     dirty.loc[0, "film"] = float("nan")   # NaN mention -> P4 drop, row kept
@@ -109,7 +186,7 @@ def test_facade_nan_and_missing_cells(spark, table_and_kb):
     )
     out = croco.run().sort_values("row_id")
     assert len(out) == len(dirty)
-    assert out.iloc[0]["0_id"] is None or (
-        isinstance(out.iloc[0]["0_id"], float) and math.isnan(out.iloc[0]["0_id"])
-    )
-    assert out.iloc[1]["0_id"] == ents[1]["qid"]
+    # unlinked cell gets the reference's ''/0 placeholders (crocodile.py:470)
+    assert out.iloc[0]["film_id"] == ""
+    assert out.iloc[0]["film_score"] == 0.0
+    assert out.iloc[1]["film_id"] == ents[1]["qid"]

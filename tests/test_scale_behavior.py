@@ -81,3 +81,53 @@ def test_pipeline_handles_pathological_corpus(spark):
     assert out.pairs.count() == 119  # linear, not C(120,2)=7140
     assert out.clusters.count() == 120
     assert out.clusters.select("cluster_id").distinct().count() == 1
+
+
+def test_el_fuzzy_token_join_hot_token_capped(spark):
+    """Verdict r2 #2: a hot KB name token ("grand" in 500 hotel entries)
+    must not multiply into the fuzzy join -- the DF cap excludes it from
+    the token index, bounding pre-window pair volume, while a rare token
+    still retrieves its entries."""
+    from crocodile_spark.functions.normalize import normalize_mention, tokenize
+    from crocodile_spark.operators.el import fuzzy_token_index, generate_candidates
+
+    cfg = PipelineConfig(fuzzy_token_df_cap=64, candidate_retrieval_limit=16)
+    kb_rows = [
+        (f"Q{i:04d}", f"grand hotel v{i:04d}", f"a hotel number {i}", 0.1)
+        for i in range(500)
+    ]
+    kb_rows.append(("Q9999", "zanzibar retreat", "a rare name", 0.9))
+    kb = spark.createDataFrame(
+        kb_rows, "qid string, name string, description string, popularity double"
+    )
+    kbn = kb.withColumn("name_norm", normalize_mention(F.col("name"))).withColumn(
+        "name_tokens", tokenize(F.col("name"), remove_stopwords=False)
+    )
+
+    # the capped index contains no hot token: pair volume through the fuzzy
+    # join is bounded by df_cap * n_mention_tokens, not |KB|
+    idx = fuzzy_token_index(kbn, kb.columns, cfg)
+    toks = {r["token"] for r in idx.select("token").distinct().collect()}
+    assert "grand" not in toks and "hotel" not in toks
+    assert "zanzibar" in toks
+    assert idx.count() <= 64 * idx.select("token").distinct().count()
+
+    # end to end: a mention sharing only hot tokens retrieves nothing via
+    # fuzzy; one sharing a rare token still retrieves its entry
+    cells = spark.createDataFrame(
+        [("grand hotel unseen",), ("zanzibar lodge",)], ["mention_norm"]
+    ).select(
+        F.col("mention_norm"),
+        F.lit(None).cast("string").alias("gold_qid"),
+    )
+    cands = generate_candidates(cells, kb, cfg)
+    per_mention = {
+        r["mention_norm"]: r["n"]
+        for r in cands.groupBy("mention_norm")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_mention.get("grand hotel unseen", 0) == 0
+    assert per_mention.get("zanzibar lodge", 0) >= 1
+    q = {r["qid"] for r in cands.where(F.col("mention_norm") == "zanzibar lodge").collect()}
+    assert "Q9999" in q
