@@ -1476,20 +1476,71 @@ WHERE list_cosine_similarity(ca.emb, cb.emb) >= 0.98
 """
 
 
+_MEDIA_ORACLE_DIR = "/tmp/croco_spark_media_oracle"
+
+
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: mapInPandas feature extraction over opaque
-    binary payloads (deterministic fake decode; rows-only)."""
+    """Multimodal codec: mapInPandas header decode over binary payloads --
+    REAL dependency-free container parsing (PNG/GIF/BMP dims+channels, WAV
+    channels; struct.unpack over the public layouts, multimodal.py:54-82).
+    The payload table is persisted so the DuckDB oracle re-derives every
+    parsed field from the same bytes via hex arithmetic -- the operator is
+    value-checked, not rows-only."""
     from crocodile_spark.operators.multimodal import (
         extract_media_features,
         make_fake_media,
     )
 
     media = make_fake_media(spark, n=64, seed=42)
-    feats = extract_media_features(media, deterministic_fake=True)
-    return feats.select(
-        "media_id", "kind", "n_bytes", "sha",
-        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+    media.write.mode("overwrite").parquet(f"{_MEDIA_ORACLE_DIR}/media.parquet")
+    feats = extract_media_features(
+        spark.read.parquet(f"{_MEDIA_ORACLE_DIR}/media.parquet")
     )
+    return feats.select(
+        "media_id", "kind", "format", "n_bytes", "width", "height", "channels"
+    )
+
+
+def _hexbyte(k: int) -> str:
+    """DuckDB: byte k (1-indexed) of the payload as an integer."""
+    return f"CAST(('0x'||substr(hx,{2 * k - 1},2)) AS BIGINT)"
+
+
+SQL_MULTIMODAL = f"""
+WITH m AS (
+  SELECT media_id, kind, octet_length(payload) AS n_bytes, hex(payload) AS hx
+  FROM read_parquet('{_MEDIA_ORACLE_DIR}/media.parquet/*.parquet')
+), p AS (
+  SELECT media_id, kind, n_bytes, hx,
+    CASE WHEN substr(hx,1,16)='89504E470D0A1A0A' THEN 'png'
+         WHEN substr(hx,1,8)='47494638' THEN 'gif'
+         WHEN substr(hx,1,4)='424D' THEN 'bmp'
+         WHEN substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645' THEN 'wav'
+         ELSE NULL END AS format
+  FROM m
+)
+SELECT media_id, kind, format, n_bytes,
+  CASE format
+    WHEN 'png' THEN CAST(('0x'||substr(hx,33,8)) AS BIGINT)
+    WHEN 'gif' THEN {_hexbyte(7)} + 256*{_hexbyte(8)}
+    WHEN 'bmp' THEN {_hexbyte(19)} + 256*{_hexbyte(20)}
+                  + 65536*{_hexbyte(21)} + 16777216*{_hexbyte(22)}
+  END AS width,
+  CASE format
+    WHEN 'png' THEN CAST(('0x'||substr(hx,41,8)) AS BIGINT)
+    WHEN 'gif' THEN {_hexbyte(9)} + 256*{_hexbyte(10)}
+    WHEN 'bmp' THEN {_hexbyte(23)} + 256*{_hexbyte(24)}
+                  + 65536*{_hexbyte(25)} + 16777216*{_hexbyte(26)}
+  END AS height,
+  CASE format
+    WHEN 'png' THEN CASE {_hexbyte(26)} WHEN 0 THEN 1 WHEN 2 THEN 3
+                         WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 4 END
+    WHEN 'gif' THEN 3
+    WHEN 'bmp' THEN greatest(1, ({_hexbyte(29)} + 256*{_hexbyte(30)}) // 8)
+    WHEN 'wav' THEN {_hexbyte(23)} + 256*{_hexbyte(24)}
+  END AS channels
+FROM p
+"""
 
 
 _EL_ORACLE_DIR = "/tmp/croco_spark_el_oracle"
@@ -2147,5 +2198,7 @@ ORACLES: dict[str, str] = {
     "serving_page": SQL_SERVING_PAGE,
     "sql_api_summary": SQL_SQL_API,
     "m2_classify_columns": SQL_M2,
-    # multimodal: rows-only by design (opaque binary plumbing)
+    # r3: multimodal upgraded from rows-only to value-checked -- the oracle
+    # re-derives the parsed container-header fields via hex arithmetic
+    "multimodal_features": SQL_MULTIMODAL,
 }

@@ -96,7 +96,7 @@ def test_multimodal_plumbing(spark):
     )
 
     media = make_fake_media(spark, n=32).cache()
-    feats = extract_media_features(media, deterministic_fake=True)
+    feats = extract_media_features(media)
     rows = feats.collect()
     assert len(rows) == 32
     assert all(len(r["feat"]) == 8 for r in rows)
@@ -104,6 +104,17 @@ def test_multimodal_plumbing(spark):
     # content-addressed determinism: same payload sha -> same feature
     again = {r["media_id"]: r["feat"] for r in extract_media_features(media).collect()}
     assert all(again[r["media_id"]] == r["feat"] for r in rows)
+    # real codec: every image payload parses to its encoded dims
+    meta = {r["media_id"]: (r["width"], r["height"]) for r in media.collect()
+            if r["kind"] == "image"}
+    for r in rows:
+        if r["media_id"] in meta:
+            assert (r["width"], r["height"]) == meta[r["media_id"]]
+            assert r["format"] in ("png", "gif", "bmp")
+            assert r["channels"] in (1, 2, 3, 4)
+        elif r["kind"] == "audio":
+            assert r["format"] == "wav" and r["channels"] in (1, 2)
+            assert r["width"] is None and r["height"] is None
 
     plan = frame_sample_plan(media, every_ms=5000)
     n_videos = media.where(F.col("kind") == "video").count()
@@ -112,14 +123,30 @@ def test_multimodal_plumbing(spark):
     assert plan.columns == ["media_id", "frame_ts_ms"]
 
 
-def test_multimodal_decode_stub_raises(spark):
-    import pandas as pd
-    import pytest as _pytest
+def test_media_header_parser_roundtrip():
+    """The dependency-free codec decodes exactly what the encoders wrote,
+    and unknown magic falls through to nulls instead of raising."""
+    from crocodile_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_wav,
+        parse_media_header,
+    )
 
-    from crocodile_spark.operators.multimodal import decode_image_batch
-
-    with _pytest.raises(NotImplementedError):
-        decode_image_batch(pd.Series([b"x"]), deterministic_fake=False)
+    assert parse_media_header(encode_png(640, 480, 2, b"x" * 10)) == (
+        "png", 640, 480, 3)
+    assert parse_media_header(encode_png(11, 7, 6, b"")) == ("png", 11, 7, 4)
+    assert parse_media_header(encode_gif(320, 200, b"z")) == ("gif", 320, 200, 3)
+    assert parse_media_header(encode_bmp(800, 600, 24, b"q" * 4)) == (
+        "bmp", 800, 600, 3)
+    assert parse_media_header(encode_bmp(5, -5, 8, b"")) == ("bmp", 5, 5, 1)
+    assert parse_media_header(encode_wav(2, 16000, b"aa" * 8)) == (
+        "wav", None, None, 2)
+    assert parse_media_header(b"not a container at all") == (
+        None, None, None, None)
+    assert parse_media_header(None) == (None, None, None, None)
+    assert parse_media_header(b"\x89PNG") == (None, None, None, None)  # truncated
 
 
 def test_ivf_topk_recall(spark, embeddings):
