@@ -171,6 +171,47 @@ class Lakehouse:
         )
         return {int(r["partition_id"]) for r in rows}
 
+    def _staging_path(self, name: str) -> str:
+        return os.path.join(self.root, f"_{name}__staged_input")
+
+    def _staging_marker(self, name: str) -> str:
+        return os.path.join(self.root, f"_{name}.STAGED.json")
+
+    def _stage_input_once(
+        self, name: str, input_df: DataFrame, bucket_expr
+    ) -> DataFrame:
+        """Scan-once bucketization: the input is written ONE time,
+        hive-partitioned by the bucket id, so every per-bucket read below
+        is a pruned slice (1/n of the data) instead of a full rescan --
+        at 100 TB the old per-bucket ``input_df.where(...)`` loop multiplied
+        input scans by resume_buckets. The staged copy is transient scratch:
+        deleted when the stage completes. A kill mid-staging leaves no
+        marker, so the staging write itself re-runs idempotently."""
+        staging = self._staging_path(name)
+        if not os.path.exists(self._staging_marker(name)):
+            (
+                input_df.withColumn("part_bucket", bucket_expr)
+                .write.mode("overwrite")
+                .partitionBy("part_bucket")
+                .parquet(staging)
+            )
+            with open(self._staging_marker(name), "w") as f:
+                json.dump({"stage": name}, f)
+        try:
+            return self.spark.read.parquet(staging)
+        except Exception:
+            # an entirely empty input writes no partition dirs (schema is
+            # uninferrable): fall back to the equivalent empty frame
+            return input_df.withColumn("part_bucket", bucket_expr)
+
+    def _drop_staging(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging_path(name), ignore_errors=True)
+        m = self._staging_marker(name)
+        if os.path.exists(m):
+            os.remove(m)
+
     def run_stage_bucketed(
         self,
         name: str,
@@ -178,19 +219,27 @@ class Lakehouse:
         transform,
         bucket_col: str,
         n_buckets: int = 4,
+        concurrency: int = 4,
     ) -> StageResult:
         """Mid-stage resumable execution (SURVEY.md section 7.5, the Q1/Q2
-        claim-queue analog): the input is split into ``n_buckets`` by a
-        hash of ``bucket_col``; each bucket is transformed and committed to
-        its own subdirectory with one lineage row, so a killed run resumes
-        by anti-joining DONE buckets and recomputing ONLY the missing ones.
+        claim-queue analog): the input is bucketized ONCE by a hash of
+        ``bucket_col`` (hive-partitioned staging write); each bucket is then
+        transformed from its pruned slice and committed to its own
+        subdirectory with one lineage row, so a killed run resumes by
+        anti-joining DONE buckets and recomputing ONLY the missing ones --
+        without rescanning the input per bucket.
+
+        Missing buckets run overlapped (``concurrency`` Spark jobs -- the
+        scheduler interleaves their tasks, filling the stage tails that a
+        serial loop leaves idle); lineage rows are committed serially in
+        submission-safe order AFTER each bucket's data commit.
 
         Idempotence: a bucket directory is written with mode=overwrite and
         its lineage row only after the data commit, so a kill at any point
-        (mid-write, or between data commit and lineage write) re-runs that
-        bucket to the identical bytes. ``transform`` must be bucket-local
-        (applied independently per input slice), like the reference's
-        row-batch processor.
+        (mid-staging, mid-write, or between data commit and lineage write)
+        re-runs that piece to the identical bytes. ``transform`` must be
+        bucket-local (applied independently per input slice), like the
+        reference's row-batch processor.
         """
         path = self._stage_path(name)
         if self.is_done(name):
@@ -212,6 +261,7 @@ class Lakehouse:
                 import shutil
 
                 shutil.rmtree(path, ignore_errors=True)
+                self._drop_staging(name)
                 lin = self.lineage()
                 if lin is not None:
                     kept = lin.where(F.col("stage") != name).localCheckpoint(
@@ -224,21 +274,44 @@ class Lakehouse:
         done = self._done_buckets(name)
         missing = [b for b in range(n_buckets) if b not in done]
         bucket_expr = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
-        for b in missing:
+        staged = self._stage_input_once(name, input_df, bucket_expr)
+
+        def run_bucket(b: int) -> tuple[int, int, float]:
             tb = time.time()
-            out_b = transform(input_df.where(bucket_expr == b))
-            out_b.write.mode("overwrite").parquet(f"{path}/part_bucket={b}")
-            committed = self.spark.read.parquet(f"{path}/part_bucket={b}")
-            part_counts = self.spark.createDataFrame(
-                [(b, committed.count())], "partition_id int, rows long"
+            slice_b = staged.where(F.col("part_bucket") == b).drop("part_bucket")
+            transform(slice_b).write.mode("overwrite").parquet(
+                f"{path}/part_bucket={b}"
             )
-            self._write_lineage_rows(name, part_counts, time.time() - tb)
+            n = self.spark.read.parquet(f"{path}/part_bucket={b}").count()
+            return b, n, time.time() - tb
+
+        if len(missing) > 1 and concurrency > 1:
+            from concurrent.futures import ThreadPoolExecutor, as_completed
+
+            with ThreadPoolExecutor(
+                max_workers=min(concurrency, len(missing))
+            ) as pool:
+                futs = [pool.submit(run_bucket, b) for b in missing]
+                for fut in as_completed(futs):
+                    b, n, wall_b = fut.result()
+                    part_counts = self.spark.createDataFrame(
+                        [(b, n)], "partition_id int, rows long"
+                    )
+                    self._write_lineage_rows(name, part_counts, wall_b)
+        else:
+            for b in missing:
+                b, n, wall_b = run_bucket(b)
+                part_counts = self.spark.createDataFrame(
+                    [(b, n)], "partition_id int, rows long"
+                )
+                self._write_lineage_rows(name, part_counts, wall_b)
         wall = time.time() - t0
         out = self.spark.read.parquet(path).drop("part_bucket")
         rows = out.count()
         self._write_stage_done_row(name, wall)
         with open(self._marker(name), "w") as f:
             json.dump({"stage": name, "rows": rows, "wall_s": wall}, f)
+        self._drop_staging(name)
         return StageResult(name, out, rows, wall, resumed=False,
                            recomputed_buckets=missing)
 
