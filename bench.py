@@ -34,6 +34,9 @@ def main() -> None:
     # warm the JVM/codegen path once (excluded from timings)
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # r3: the ANN and portable-dedup families are part of the timed total
+    # (they were informational in r1/r2 -- regressions there now gate the
+    # bench, per VERDICT r2 #7). Keys are unchanged for cross-round trends.
     headline = [
         "tpch_q1",
         "f6_f7_pair_similarity",
@@ -45,6 +48,9 @@ def main() -> None:
         "doc_fingerprint",
         "quality_score",
         "cosine_topk",
+        "minhash_lsh_dedup",
+        "simhash_dedup",
+        "ivf_ann_cosine",
     ]
 
     timings: dict[str, float] = {}
@@ -54,10 +60,9 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    # informational timing (excluded from the comparable 12-query total):
     # the production ANN path (single-pass multi-table LSH, Arrow matmul
     # buckets -- the driver query pins arrow=False for oracle parity, so
-    # time the scale path directly)
+    # time the scale path directly); timed in the total since r3
     from pyspark.sql import functions as F
 
     from crocodile_spark.operators.similarity_search import lsh_topk
@@ -69,7 +74,7 @@ def main() -> None:
     cv = e.select(F.col("vec_id").alias("cand_id"), "embedding")
     t0 = time.time()
     lsh_topk(qv, cv, k=5, arrow=True).write.format("noop").mode("overwrite").save()
-    timings["_ann_lsh_arrow_sec"] = round(time.time() - t0, 3)
+    timings["ann_lsh_arrow"] = round(time.time() - t0, 3)
 
     # full ER pipeline (the flagship): time it and derive throughput
     wp = documents_as_web_pages(spark, sf_dir)
@@ -89,7 +94,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall time (12 queries incl. full ER pipeline)",
+                "metric": "headline-suite wall time (15 queries incl. full ER pipeline; ANN+portable-dedup timed since r3)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -15,6 +15,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 WORKER = """
 import json, sys, time
@@ -99,6 +100,27 @@ def run_level(cores: int, n_entities: int, pages: int, filler_hi: int) -> dict:
     raise RuntimeError(f"worker {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+def _busy(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def raw_cpu_throughput(workers: int, per: int = 6_000_000, rounds: int = 24) -> float:
+    """Same-session hardware baseline: pure-CPU ops/sec at ``workers``
+    processes (mp.Pool busy loop). The VM's multi-core throughput drifts
+    with noisy neighbors (observed 2->8 ceiling between 2.8x and 4.1x
+    within minutes), so the ceiling must be measured WITH the run it
+    contextualizes, not quoted from a past session."""
+    import multiprocessing as mp
+
+    with mp.Pool(workers) as pool:
+        t0 = time.time()
+        pool.map(_busy, [per] * rounds)
+        return rounds * per / (time.time() - t0)
+
+
 def main():
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     pages = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -108,12 +130,28 @@ def main():
     # (clock/memory ceiling measured in BENCH.md), so the N=2 pair isolates
     # *software* scaling from the hardware ceiling.
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    alternations = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     levels = [n, 4 * n]
-    results = [run_level(c, n_entities, pages, filler_hi) for c in levels]
+    # ALTERNATE the levels (N, 4N, N, 4N) and keep the best run per level:
+    # VM load drifts on the scale of minutes, so running all of one level
+    # then all of the other lets a contended window land entirely on one
+    # side of the ratio and corrupt the efficiency (observed 0.75 vs 0.89
+    # for the identical code). Alternation + best-of puts both levels
+    # through the same weather.
+    best: dict[int, dict] = {}
+    ceilings = []
+    for _ in range(alternations):
+        ceilings.append(raw_cpu_throughput(levels[1]) / raw_cpu_throughput(levels[0]))
+        for c in levels:
+            r = run_level(c, n_entities, pages, filler_hi)
+            if c not in best or r["pairs_per_sec"] > best[c]["pairs_per_sec"]:
+                best[c] = r
+    results = [best[c] for c in levels]
     lo, hi = results[0], results[-1]
     speedup = hi["pairs_per_sec"] / lo["pairs_per_sec"]
     ideal = levels[-1] / levels[0]
     eff = speedup / ideal
+    raw_ceiling = max(ceilings)
     report = {
         "corpus": {"n_entities": n_entities, "pages_per_entity": pages,
                    "records": lo["records"]},
@@ -121,6 +159,9 @@ def main():
         "speedup": round(speedup, 3),
         "ideal": ideal,
         "scaling_efficiency": round(eff, 3),
+        "raw_cpu_ceiling_speedup": round(raw_ceiling, 3),
+        "raw_cpu_ceiling_efficiency": round(raw_ceiling / ideal, 3),
+        "efficiency_vs_measured_ceiling": round(speedup / raw_ceiling, 3),
     }
     print(json.dumps(report, indent=2))
 
