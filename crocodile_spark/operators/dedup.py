@@ -30,6 +30,23 @@ from crocodile_spark.functions.similarity import cosine_similarity, token_jaccar
 from crocodile_spark.operators.blocking import salted_count
 
 
+def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Width guard for per-row-heavy stages (md5 signatures, array
+    Jaccard): a single-file local scan arrives as 1 partition and AQE
+    coalesces small-BYTES/heavy-CPU shuffle outputs to 1 task, serializing
+    the expensive expression on one core. Repartition up to the session's
+    shuffle parallelism when narrower. At production scale inputs are
+    already wide (many files / many shuffle partitions with real bytes),
+    so this is a no-op there."""
+    sess = df.sparkSession
+    target = min_partitions or int(
+        sess.conf.get("spark.sql.shuffle.partitions")
+    )
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -84,7 +101,7 @@ def minhash_signature_agg(
     portable: bool = False,
 ) -> DataFrame:
     """(id, mh0..mhk-1) via explode->aggregate (the codegen-safe form)."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(char_ngrams(F.lower(F.col(text_col)), shingle_size)).alias("sh"),
     )
@@ -114,6 +131,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float | None = 0.7,
     max_bucket_size: int = 256,
     portable: bool = False,
+    materialize_signatures: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs, optionally verified.
 
@@ -123,10 +141,21 @@ def minhash_lsh_pairs(
     char-shingle Jaccard and filtered. ``portable=True`` switches both the
     signature and the band hash to the md5-based law so a DuckDB oracle
     can reproduce the pairs bit-for-bit.
+
+    ``materialize_signatures``: the signature table feeds THREE consumers
+    (the bucket-size count and both sides of the in-bucket self-join), and
+    Spark re-derives a DataFrame lineage per consumer -- the whole
+    shingle+hash pipeline would run ~3x (measured 23 s -> 5.3 s at sf0.1).
+    Signatures are num_hashes longs per doc (~1-2% of text bytes), so
+    materializing is the standard MinHash shape at any scale; in a
+    checkpointed production run the lakehouse stage write plays this role
+    instead (localCheckpoint is executor-local and not kill-resumable).
     """
     sig = minhash_signature_agg(
         df, text_col, id_col, num_hashes, shingle_size, portable=portable
     )
+    if materialize_signatures:
+        sig = sig.localCheckpoint(eager=True)
 
     def band_hash(concat_col):
         if portable:
@@ -163,13 +192,20 @@ def minhash_lsh_pairs(
     )
     if jaccard_threshold is None:
         return pairs
-    grams = df.select(
+    grams = _spread(df).select(
         F.col(id_col).alias("id"),
         char_ngrams(F.lower(F.col(text_col)), shingle_size).alias("grams"),
     )
+    joined = pairs.join(
+        grams.withColumnsRenamed({"id": "id_a", "grams": "ga"}), "id_a"
+    ).join(grams.withColumnsRenamed({"id": "id_b", "grams": "gb"}), "id_b")
+    # the exact-Jaccard verify is array-CPU-heavy but byte-light, so AQE
+    # coalesces it onto too few tasks: force pair-key width before computing
+    # (explicit partition count -- a bare column repartition is itself
+    # AQE-coalescible and collapses back to one task)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     verified = (
-        pairs.join(grams.withColumnsRenamed({"id": "id_a", "grams": "ga"}), "id_a")
-        .join(grams.withColumnsRenamed({"id": "id_b", "grams": "gb"}), "id_b")
+        joined.repartition(n_part, "id_a", "id_b")
         .withColumn("jaccard", token_jaccard(F.col("ga"), F.col("gb")))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
@@ -195,7 +231,7 @@ def simhash(
     tok_hash = (
         portable_hash64(F.col("tok"), 0) if portable else F.xxhash64("tok")
     )
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     ).withColumn("h", tok_hash)
@@ -224,13 +260,17 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_bucket_size: int = 256,
     portable: bool = False,
+    materialize_signatures: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: 4-segment pigeonhole blocking + exact
     Hamming verification (<= max_hamming, which must be <= 3 for 4
-    segments to guarantee recall)."""
+    segments to guarantee recall). Fingerprints are materialized by
+    default for the same three-consumer reason as minhash_lsh_pairs."""
     bits = 60 if portable else 64
     seg_bits = bits // 4
     fp = simhash(df, text_col, id_col, bits=bits, portable=portable)
+    if materialize_signatures:
+        fp = fp.localCheckpoint(eager=True)
     segs = F.array(
         *[
             F.concat(
@@ -273,7 +313,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Char-n-gram Jaccard near-dup pairs within explicit blocks."""
-    d = df.select(
+    d = _spread(df).select(
         F.col(id_col).alias("id"),
         *block_cols,
         char_ngrams(F.lower(F.col(text_col)), n).alias("grams"),
@@ -331,6 +371,9 @@ def embedding_near_dup_pairs(
     else:
         buckets = hyperplane_table_buckets(emb_col, dim, num_planes, num_tables, seed)
     b = df.select(F.col(id_col).alias("id"), F.explode(buckets).alias("bucket"))
+    # (id, bucket) feeds the size count + both self-join sides: materialize
+    # so the hyperplane projection (the Arrow UDF) runs once, not 3x
+    b = b.localCheckpoint(eager=True)
     sizes = key_count(b, "bucket")
     ok = sizes.where(F.col("count") <= max_bucket_size).select("bucket")
     b = b.join(ok, "bucket", "inner")
