@@ -174,6 +174,9 @@ def lsh_topk(
 
     qb = queries.select(F.col(query_id), F.explode(buckets).alias("bucket"))
     cb = corpus.select(F.col(corpus_id), F.explode(buckets).alias("bucket"))
+    # (id, bucket) feeds the size count AND the bucket join: materialize so
+    # the corpus-side hyperplane projection runs once, not per consumer
+    cb = cb.localCheckpoint(eager=True)
     sizes = key_count(cb, "bucket")
     ok = sizes.where(F.col("count") <= max_bucket_size).select("bucket")
     cb = cb.join(ok, "bucket", "inner")
