@@ -152,3 +152,32 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert j.count() == 10000
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_facade_onboard_plan_is_distributed(spark):
+    """r3 gate: CrocodileSpark.onboard over a Spark-DataFrame input must
+    not funnel the table through one partition -- the sequential row id is
+    a partition-local window + broadcast offset map, never a global sort
+    or a single-partition exchange."""
+    from pyspark.sql import functions as F
+
+    from crocodile_spark.api import CrocodileSpark
+
+    sdf = spark.range(0, 10_000, 1, 8).select(
+        F.concat(F.lit("name "), F.col("id").cast("string")).alias("film"),
+        (F.col("id") % 100).cast("string").alias("year"),
+    )
+    kb = spark.createDataFrame(
+        [("Q1", "name 1", "d", 0.1)],
+        "qid string, name string, description string, popularity double",
+    )
+    onboarded = CrocodileSpark(
+        input_csv=sdf, kb=kb, spark=spark,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {"1": "NUMBER"}, "IGNORED": []},
+    ).onboard()
+    plan = _plan(onboarded)
+    assert "Exchange SinglePartition" not in plan
+    assert "Sort [" not in plan or "Sort [_part" in plan  # no global sort
+    # and the ids are dense over all 8 input partitions
+    ids = sorted(r["row_id"] for r in onboarded.select("row_id").collect())
+    assert ids == list(range(10_000))

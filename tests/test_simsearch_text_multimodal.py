@@ -169,3 +169,44 @@ def test_ivf_topk_recall(spark, embeddings):
     # every query produces results (compare against the query COUNT --
     # a groupBy over the output alone can never catch an absent query)
     assert ann.select("query_id").distinct().count() == q.count()
+
+
+def test_media_header_parser_properties():
+    """Property law: every encoder round-trips through the parser for all
+    valid dims/formats, and arbitrary byte soup never raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crocodile_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_wav,
+        parse_media_header,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 65535), h=st.integers(1, 65535),
+        ct=st.sampled_from([0, 2, 3, 4, 6]),
+        bpp=st.sampled_from([8, 16, 24, 32]),
+        ch=st.integers(1, 8),
+        body=st.binary(max_size=64),
+    )
+    def roundtrip(w, h, ct, bpp, ch, body):
+        png_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+        assert parse_media_header(encode_png(w, h, ct, body)) == ("png", w, h, png_ch)
+        assert parse_media_header(encode_gif(w, h, body)) == ("gif", w, h, 3)
+        assert parse_media_header(encode_bmp(w, h, bpp, body)) == (
+            "bmp", w, h, max(1, bpp // 8))
+        assert parse_media_header(encode_wav(ch, 8000, body)) == (
+            "wav", None, None, ch)
+
+    @settings(max_examples=300, deadline=None)
+    @given(blob=st.binary(max_size=128))
+    def never_raises(blob):
+        fmt, w, hh, c = parse_media_header(blob)
+        assert fmt in (None, "png", "gif", "bmp", "wav")
+
+    roundtrip()
+    never_raises()
