@@ -43,15 +43,23 @@ def sequential_row_id(df: DataFrame, col: str = "row_id") -> DataFrame:
     offsets (one scalar per partition -- metadata, not data). No global
     sort, no single-partition shuffle; survives 100x input because the
     only driver-side object is the per-partition count list.
+
+    Contract (same as RDD.zipWithIndex, which also runs a count job then a
+    tagging pass): the input must be DETERMINISTIC across re-evaluations --
+    a file scan, createDataFrame, or any plan without unseeded
+    sample()/limit()-style nondeterminism. A source whose partition layout
+    changes between the count job and the tagging job would misalign the
+    offset map.
     """
-    tagged = df.withColumn("_mono", F.monotonically_increasing_id()).withColumn(
-        "_part", F.spark_partition_id()
+    mono, part, pos_c = "__croco_mono", "__croco_part", "__croco_pos"
+    tagged = df.withColumn(mono, F.monotonically_increasing_id()).withColumn(
+        part, F.spark_partition_id()
     )
-    w = Window.partitionBy("_part").orderBy("_mono")
-    pos = tagged.withColumn("_pos", F.row_number().over(w) - 1)
+    w = Window.partitionBy(part).orderBy(mono)
+    pos = tagged.withColumn(pos_c, F.row_number().over(w) - 1)
     counts = sorted(
-        (r["_part"], r["n"])
-        for r in tagged.groupBy("_part").agg(F.count(F.lit(1)).alias("n")).collect()
+        (r[part], r["n"])
+        for r in tagged.groupBy(part).agg(F.count(F.lit(1)).alias("n")).collect()
     )
     offsets, acc = {}, 0
     for pid, n in counts:
@@ -63,8 +71,8 @@ def sequential_row_id(df: DataFrame, col: str = "row_id") -> DataFrame:
         *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
     )
     return (
-        pos.withColumn(col, (F.col("_pos") + off_map[F.col("_part")]).cast("int"))
-        .drop("_mono", "_part", "_pos")
+        pos.withColumn(col, (F.col(pos_c) + off_map[F.col(part)]).cast("int"))
+        .drop(mono, part, pos_c)
     )
 
 
@@ -85,14 +93,35 @@ def _int_array_lit(xs: list[int]) -> F.Column:
     return F.array(*[F.lit(int(i)) for i in xs])
 
 
-def _scrub_str(c: str) -> F.Column:
-    """F11 scrub law as a native expression: NaN/Inf (any textual spelling a
-    cast can produce) -> null; everything else -> its string form."""
-    s = F.col(c).cast("string")
-    return F.when(
-        s.isin("NaN", "nan", "Infinity", "-Infinity", "Inf", "-Inf", "inf", "-inf"),
-        F.lit(None).cast("string"),
-    ).otherwise(s)
+def _qcol(name: str) -> F.Column:
+    """Column reference by EXACT name: backtick-quoted so headers containing
+    dots ("release.date") resolve as columns, not struct-field paths."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+# the NA tokens pandas.read_csv treats as missing by default (public pandas
+# behavior); applied only to CSV inputs for parity with the reference's
+# pandas-based CSV loading
+_CSV_NA_TOKENS = ("", "NaN", "nan", "N/A", "n/a", "NA", "<NA>", "NULL",
+                  "null", "None")
+
+
+def _scrub_expr(field: T.StructField, input_kind: str) -> F.Column:
+    """F11 scrub law, dtype-aware: float/double columns null actual
+    NaN/Inf VALUES (never string cells that merely spell "NaN"); CSV
+    inputs additionally null pandas' default NA tokens, matching what the
+    reference's pd.read_csv would have produced. String data from pandas
+    or Spark inputs is passed through untouched."""
+    c = _qcol(field.name)
+    if isinstance(field.dataType, (T.FloatType, T.DoubleType)):
+        return F.when(
+            F.isnan(c) | c.isin(float("inf"), float("-inf")),
+            F.lit(None).cast("string"),
+        ).otherwise(c.cast("string"))
+    s = c.cast("string")
+    if input_kind == "csv":
+        return F.when(s.isin(*_CSV_NA_TOKENS), F.lit(None).cast("string")).otherwise(s)
+    return s
 
 
 class CrocodileSpark:
@@ -138,16 +167,26 @@ class CrocodileSpark:
 
         if isinstance(input_csv, str):
             # distributed CSV scan (S1); header preserved in file order
+            self._input_kind = "csv"
             self._input = (
                 self.spark.read.option("header", "true").csv(input_csv)
             )
         elif isinstance(input_csv, pd.DataFrame):
             # pandas is driver-resident by type: one conversion, then the
-            # same native onboarding path as every other input
+            # same native onboarding path as every other input. str(v) with
+            # float NaN/Inf -> None preserves the reference's scrub exactly.
+            import math
+
+            def _to_str(v):
+                if v is None or (
+                    isinstance(v, float) and (math.isnan(v) or math.isinf(v))
+                ):
+                    return None
+                return str(v)
+
             pdf = input_csv.astype(object).where(pd.notna(input_csv), None)
-            pdf = pdf.apply(
-                lambda s: s.map(lambda v: None if v is None else str(v))
-            )
+            pdf = pdf.apply(lambda s: s.map(_to_str))
+            self._input_kind = "pandas"
             self._input = self.spark.createDataFrame(
                 pdf,
                 schema=T.StructType(
@@ -158,12 +197,24 @@ class CrocodileSpark:
                 ),
             )
         elif isinstance(input_csv, DataFrame):
+            self._input_kind = "spark"
             self._input = input_csv
         else:
             raise TypeError("input_csv must be a path, pandas, or Spark DataFrame")
         self.header: list[str] = [str(c) for c in self._input.columns]
 
     # -- onboard -------------------------------------------------------------
+    def _typed(self) -> DataFrame:
+        """The input as all-string columns in header order, scrubbed per
+        the dtype-aware F11 law; column access is backtick-quoted so dotted
+        headers survive."""
+        return self._input.select(
+            *[
+                _scrub_expr(f, self._input_kind).alias(str(f.name))
+                for f in self._input.schema.fields
+            ]
+        )
+
     def _classify(self, sample: DataFrame) -> dict:
         if self.columns_type is not None:
             return self.columns_type
@@ -171,15 +222,16 @@ class CrocodileSpark:
 
         return classify_columns(sample.limit(1024), columns=self.header)
 
-    def _column_roles(self, typed: DataFrame) -> tuple[dict, list[int]]:
-        """NE map + context column list (cached: classification runs once).
+    def _column_roles(self) -> tuple[dict, list[int]]:
+        """NE map + context column list (cached: classification runs once,
+        always over the same scrubbed string-typed sample).
         Unrecognized columns (present in neither NE nor LIT nor IGNORED of
         a partial explicit columns_type) are treated as IGNORED before
         computing context, mirroring the reference's ignored_cols extension
         (crocodile/crocodile.py:226-231)."""
         if getattr(self, "_roles", None) is not None:
             return self._roles
-        cols = self._classify(typed)
+        cols = self._classify(self._typed())
         ne = {str(k): v for k, v in cols.get("NE", {}).items()}
         lit = {str(k) for k in cols.get("LIT", {})}
         recognized = set(ne) | lit
@@ -199,8 +251,12 @@ class CrocodileSpark:
             return None
         per_row: dict[int, list[tuple[str, str]]] = {}
         for k, v in self.correct_qids.items():
-            rid = int(str(k).split("-", 1)[0])
-            per_row.setdefault(rid, []).append((str(k), str(v)))
+            head = str(k).split("-", 1)[0]
+            if not head.lstrip("-").isdigit():
+                continue  # malformed key: ignored, like the reference's
+                # startswith filter (crocodile.py:260-266) simply never
+                # matching it
+            per_row.setdefault(int(head), []).append((str(k), str(v)))
         rows = [(rid, dict(kvs)) for rid, kvs in per_row.items()]
         return self.spark.createDataFrame(
             rows, "row_id int, correct_qids map<string,string>"
@@ -211,10 +267,8 @@ class CrocodileSpark:
         header order, ne_cols/context_cols per the T1 complement law,
         correct_qids) -- built with native expressions end to end; the
         input DataFrame is never materialized on the driver."""
-        typed = self._input.select(
-            *[F.col(c).cast("string").alias(str(c)) for c in self._input.columns]
-        )
-        ne, context = self._column_roles(typed)
+        typed = self._typed()
+        ne, context = self._column_roles()
 
         rows = sequential_row_id(typed)
         out = rows.select(
@@ -222,7 +276,7 @@ class CrocodileSpark:
             F.lit(self.dataset_name).alias("dataset_name"),
             F.lit(self.table_name).alias("table_name"),
             F.col("row_id"),
-            F.array(*[_scrub_str(c) for c in self.header]).alias("data"),
+            F.array(*[_qcol(c) for c in self.header]).alias("data"),
             _string_map_lit(ne).alias("ne_cols"),
             _int_array_lit(context).alias("context_cols"),
         )
@@ -249,7 +303,7 @@ class CrocodileSpark:
         )
 
         input_rows = self.onboard()
-        ne, _ = self._column_roles(self._input)
+        ne, _ = self._column_roles()
         ranked = link_cells(input_rows, self.kb, self.cfg)
         freqs = global_type_frequencies(ranked, self.cfg)
         ranked = attach_type_freq_features(ranked, freqs, self.cfg)

@@ -274,7 +274,12 @@ class Lakehouse:
         done = self._done_buckets(name)
         missing = [b for b in range(n_buckets) if b not in done]
         bucket_expr = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
-        staged = self._stage_input_once(name, input_df, bucket_expr)
+        if len(missing) > 1 or os.path.exists(self._staging_marker(name)):
+            staged = self._stage_input_once(name, input_df, bucket_expr)
+        else:
+            # recovering <=1 bucket with no staging on disk: one filtered
+            # scan beats writing the whole input just to prune it once
+            staged = input_df.withColumn("part_bucket", bucket_expr)
 
         def run_bucket(b: int) -> tuple[int, int, float]:
             tb = time.time()

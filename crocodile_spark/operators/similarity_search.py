@@ -147,6 +147,7 @@ def lsh_topk(
     seed: int = 42,
     max_bucket_size: int = 4096,
     arrow: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """ANN top-k: single-pass random-hyperplane LSH bucket join, exact
     cosine within candidates, OR over ``num_tables`` independent tables.
@@ -175,8 +176,10 @@ def lsh_topk(
     qb = queries.select(F.col(query_id), F.explode(buckets).alias("bucket"))
     cb = corpus.select(F.col(corpus_id), F.explode(buckets).alias("bucket"))
     # (id, bucket) feeds the size count AND the bucket join: materialize so
-    # the corpus-side hyperplane projection runs once, not per consumer
-    cb = cb.localCheckpoint(eager=True)
+    # the corpus-side hyperplane projection runs once, not per consumer.
+    # materialize=False keeps the plan lazy (plan inspection, explain).
+    if materialize:
+        cb = cb.localCheckpoint(eager=True)
     sizes = key_count(cb, "bucket")
     ok = sizes.where(F.col("count") <= max_bucket_size).select("bucket")
     cb = cb.join(ok, "bucket", "inner")

@@ -130,7 +130,7 @@ def main():
     # (clock/memory ceiling measured in BENCH.md), so the N=2 pair isolates
     # *software* scaling from the hardware ceiling.
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 2
-    alternations = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    alternations = max(1, int(sys.argv[5])) if len(sys.argv) > 5 else 2
     levels = [n, 4 * n]
     # ALTERNATE the levels (N, 4N, N, 4N) and keep the best run per level:
     # VM load drifts on the scale of minutes, so running all of one level

@@ -190,3 +190,61 @@ def test_facade_nan_and_missing_cells(spark, table_and_kb):
     assert out.iloc[0]["film_id"] == ""
     assert out.iloc[0]["film_score"] == 0.0
     assert out.iloc[1]["film_id"] == ents[1]["qid"]
+
+
+def test_facade_dotted_headers_and_literal_nan_strings(spark, table_and_kb):
+    """r3 review fixes: headers containing dots must resolve as columns
+    (backtick quoting), and a *string* cell spelling "NaN" is data, not a
+    missing value (only float NaN/Inf are scrubbed)."""
+    pdf, kb, _, ents = table_and_kb
+    dotted = pdf.rename(columns={"film": "film.title", "year": "release.year"})
+    dotted = dotted.copy()
+    dotted.loc[2, "note"] = "NaN"  # literal string, must survive
+    croco = CrocodileSpark(
+        input_csv=dotted, kb=kb, spark=spark,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {"1": "NUMBER"}, "IGNORED": []},
+    )
+    onboarded = croco.onboard()
+    row2 = onboarded.where("row_id = 2").first()
+    assert row2["data"][2] == "NaN"  # string survives the scrub
+    out = croco.run().sort_values("row_id")
+    assert len(out) == len(dotted)
+    assert "film.title_id" in out.columns
+    assert out.iloc[0]["film.title_id"] == ents[0]["qid"]
+
+
+def test_facade_csv_na_tokens_null(spark, table_and_kb, tmp_path):
+    """CSV inputs null pandas' default NA tokens (parity with the
+    reference's pd.read_csv loading), while spark/pandas inputs keep
+    string data verbatim."""
+    import pandas as pd
+
+    pdf, kb, _, _ = table_and_kb
+    dirty = pdf.copy().astype(str)
+    dirty.loc[0, "film"] = "NaN"
+    dirty.loc[1, "film"] = "N/A"
+    p = str(tmp_path / "na.csv")
+    dirty.to_csv(p, index=False)
+    croco = CrocodileSpark(
+        input_csv=p, kb=kb, spark=spark,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {}, "IGNORED": []},
+    )
+    rows = {r["row_id"]: r["data"] for r in croco.onboard().collect()}
+    assert rows[0][0] is None and rows[1][0] is None
+    assert rows[2][0] not in (None, "")
+
+
+def test_facade_malformed_gold_key_ignored(spark, table_and_kb):
+    """A correct_qids key with a non-integer row prefix is skipped, like
+    the reference's startswith filter simply never matching it."""
+    pdf, kb, gold, ents = table_and_kb
+    bad = dict(gold)
+    bad["r1-0"] = "Q0000"
+    croco = CrocodileSpark(
+        input_csv=pdf, kb=kb, spark=spark, correct_qids=bad,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {"1": "NUMBER"}, "IGNORED": []},
+    )
+    onboarded = croco.onboard()
+    assert onboarded.count() == len(pdf)
+    q0 = onboarded.where("row_id = 0").first()["correct_qids"]
+    assert q0 == {"0-0": ents[0]["qid"]}

@@ -177,7 +177,7 @@ def test_facade_onboard_plan_is_distributed(spark):
     ).onboard()
     plan = _plan(onboarded)
     assert "Exchange SinglePartition" not in plan
-    assert "Sort [" not in plan or "Sort [_part" in plan  # no global sort
+    assert "Sort [" not in plan or "Sort [__croco_part" in plan  # no global sort
     # and the ids are dense over all 8 input partitions
     ids = sorted(r["row_id"] for r in onboarded.select("row_id").collect())
     assert ids == list(range(10_000))
