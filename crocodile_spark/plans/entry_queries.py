@@ -172,6 +172,10 @@ def _pair_features(spark, sf_dir) -> DataFrame:
         (F.col("doc_id_a") < F.col("doc_id_b"))
         & (F.col("doc_id_b") - F.col("doc_id_a") <= 25)
     )
+    # byte-light / CPU-heavy (levenshtein + ngram sets over full texts):
+    # pin pair-key width so AQE's size-based coalescing can't serialize it
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = pairs.repartition(n_part, "doc_id_a", "doc_id_b")
     return pairs.select(
         "doc_id_a",
         "doc_id_b",
@@ -538,7 +542,9 @@ def q_doc_fingerprint(spark, sf_dir):
     Rabin-Karp polynomial rolling hash of the full text."""
     from crocodile_spark.operators.text_analysis import rolling_hash
 
-    d = _t(spark, sf_dir, "documents")
+    from crocodile_spark.operators.dedup import _spread
+
+    d = _spread(_t(spark, sf_dir, "documents"))
     grams = char_ngrams(F.lower(F.col("text")))
     fp = lambda seed: F.array_min(  # noqa: E731
         F.transform(grams, lambda g: F.md5(F.concat(F.lit(seed), g)))
