@@ -265,3 +265,37 @@ def block(records: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame
     """Full stage 2: returns (signatures, candidate_pairs)."""
     sigs = mention_signatures(records, cfg)
     return sigs, pairs_from_signatures(sigs, cfg)
+
+
+_SHUFFLE_OPS = ("Join", "Aggregate", "Window", "Repartition", "Deduplicate",
+                "Distinct", "Sort")
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Width guard for per-row-heavy stages (hash signatures, HOF dot
+    products, array Jaccard, Arrow UDF projections): a single-file local
+    scan arrives as 1 partition and AQE coalesces small-BYTES/heavy-CPU
+    shuffle outputs to 1 task, serializing the expensive expression on one
+    core. Repartition up to the session's shuffle parallelism when
+    narrower. At production scale inputs are already wide (many files /
+    many shuffle partitions with real bytes), so this is a no-op there.
+
+    Inputs whose plan already contains a shuffle-producing operator are
+    returned untouched WITHOUT inspecting partitions: under AQE,
+    ``df.rdd`` finalizes the adaptive plan by actually executing upstream
+    query stages, so probing the width of a derived frame would run its
+    joins/aggregations twice. Those frames got their width from the
+    shuffle anyway; only scan-shaped inputs need the guard."""
+    try:
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        logical = ""
+    if any(op in logical for op in _SHUFFLE_OPS):
+        return df
+    sess = df.sparkSession
+    target = min_partitions or int(
+        sess.conf.get("spark.sql.shuffle.partitions")
+    )
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -28,40 +28,7 @@ from crocodile_spark.config import PipelineConfig
 from crocodile_spark.functions.normalize import char_ngrams, tokenize
 from crocodile_spark.functions.similarity import cosine_similarity, token_jaccard
 from crocodile_spark.operators.blocking import salted_count
-
-
-_SHUFFLE_OPS = ("Join", "Aggregate", "Window", "Repartition", "Deduplicate",
-                "Distinct", "Sort")
-
-
-def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Width guard for per-row-heavy stages (md5 signatures, array
-    Jaccard): a single-file local scan arrives as 1 partition and AQE
-    coalesces small-BYTES/heavy-CPU shuffle outputs to 1 task, serializing
-    the expensive expression on one core. Repartition up to the session's
-    shuffle parallelism when narrower. At production scale inputs are
-    already wide (many files / many shuffle partitions with real bytes),
-    so this is a no-op there.
-
-    Inputs whose plan already contains a shuffle-producing operator are
-    returned untouched WITHOUT inspecting partitions: under AQE,
-    ``df.rdd`` finalizes the adaptive plan by actually executing upstream
-    query stages, so probing the width of a derived frame would run its
-    joins/aggregations twice. Those frames got their width from the
-    shuffle anyway; only scan-shaped inputs need the guard."""
-    try:
-        logical = df._jdf.queryExecution().optimizedPlan().toString()
-    except Exception:
-        logical = ""
-    if any(op in logical for op in _SHUFFLE_OPS):
-        return df
-    sess = df.sparkSession
-    target = min_partitions or int(
-        sess.conf.get("spark.sql.shuffle.partitions")
-    )
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from crocodile_spark.operators.blocking import spread as _spread
 
 
 def exact_duplicates(
@@ -388,7 +355,9 @@ def embedding_near_dup_pairs(
         )
     else:
         buckets = hyperplane_table_buckets(emb_col, dim, num_planes, num_tables, seed)
-    b = df.select(F.col(id_col).alias("id"), F.explode(buckets).alias("bucket"))
+    b = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(buckets).alias("bucket")
+    )
     # (id, bucket) feeds the size count + both self-join sides: materialize
     # so the hyperplane projection (the Arrow UDF) runs once, not 3x
     # (materialize=False keeps the plan lazy for inspection)

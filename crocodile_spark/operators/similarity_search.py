@@ -30,8 +30,13 @@ def brute_force_topk(
     corpus_id: str = "cand_id",
     emb: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per query over the full corpus."""
-    q = queries.select(F.col(query_id), F.col(emb).alias("_qv"))
+    """Exact cosine top-k per query over the full corpus. Both sides are
+    width-guarded: a crossJoin's parallelism is the left side's partition
+    count, so a 1-partition local scan would run the whole O(QxN) cosine
+    sweep on one core."""
+    from crocodile_spark.operators.blocking import spread
+
+    q = spread(queries).select(F.col(query_id), F.col(emb).alias("_qv"))
     c = corpus.select(F.col(corpus_id), F.col(emb).alias("_cv"))
     sims = (
         q.crossJoin(c)
@@ -173,8 +178,10 @@ def lsh_topk(
     else:
         buckets = hyperplane_table_buckets(emb, dim, num_planes, num_tables, seed)
 
-    qb = queries.select(F.col(query_id), F.explode(buckets).alias("bucket"))
-    cb = corpus.select(F.col(corpus_id), F.explode(buckets).alias("bucket"))
+    from crocodile_spark.operators.blocking import spread
+
+    qb = spread(queries).select(F.col(query_id), F.explode(buckets).alias("bucket"))
+    cb = spread(corpus).select(F.col(corpus_id), F.explode(buckets).alias("bucket"))
     # (id, bucket) feeds the size count AND the bucket join: materialize so
     # the corpus-side hyperplane projection runs once, not per consumer.
     # materialize=False keeps the plan lazy (plan inspection, explain).
@@ -288,11 +295,15 @@ def ivf_topk(
     each query probes its ``n_probe`` best cells; exact cosine ranks within
     the probed candidates. Complements lsh_topk as the brief's second
     scale path -- cost ~ n_probe/n_centroids of brute force."""
-    cb = corpus.select(F.col(corpus_id), _ivf_cell(emb, centroids).alias("cell"))
+    from crocodile_spark.operators.blocking import spread
+
+    cb = spread(corpus).select(
+        F.col(corpus_id), _ivf_cell(emb, centroids).alias("cell")
+    )
     probes = F.slice(
         F.reverse(F.array_sort(_ivf_dots_struct(emb, centroids))), 1, n_probe
     )
-    qb = queries.select(
+    qb = spread(queries).select(
         F.col(query_id),
         F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
     )
