@@ -500,9 +500,21 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by sha256 of normalized text (F3 law): groups with >1
-    member are duplicate sets."""
+    member are duplicate sets.
+
+    The sf0.01 documents table happens to contain no exact duplicates, so
+    the raw query proved nothing at the gate's scale (r3 row: 0 vs 0).
+    The fixture therefore PLANTS deterministic duplicates inside the query
+    (every doc_id % 50 == 0 collapses to one of four texts keyed by
+    doc_id % 200), mirrored verbatim in the oracle -- the grouping,
+    hashing, and keep-min logic is exercised on >0 duplicate groups while
+    any genuine corpus duplicates still surface."""
     d = _t(spark, sf_dir, "documents")
-    h = F.sha2(F.trim(F.lower(F.col("text"))), 256)
+    planted_text = F.when(
+        F.col("doc_id") % 50 == 0,
+        F.concat(F.lit("dup-group-"), (F.col("doc_id") % 200).cast("string")),
+    ).otherwise(F.col("text"))
+    h = F.sha2(F.trim(F.lower(planted_text)), 256)
     return (
         d.select(h.alias("text_sha"), "doc_id")
         .groupBy("text_sha")
@@ -515,9 +527,16 @@ def q_dedup_exact(spark, sf_dir):
 
 
 SQL_DEDUP_EXACT = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0
+              THEN 'dup-group-' || CAST(doc_id % 200 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
 SELECT sha256(trim(lower(text))) AS text_sha, count(*) AS n_dups,
        min(doc_id) AS keep_doc_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM planted GROUP BY 1 HAVING count(*) > 1
 """
 
 
