@@ -351,9 +351,14 @@ def build_cell_data(ranked: DataFrame) -> DataFrame:
     endpoints read -- one row per NE cell with its raw text, the top-1
     candidate's confidence, and that candidate's sorted type ids. In
     production this is a MERGE INTO a serving table; here it is the pure
-    projection (the merge law is J2)."""
+    projection (the merge law is J2).
+
+    Coverage law (r4): candidate-less cells (rank null, kept by
+    link_cells) are emitted with null confidence and null types -- the
+    backend's cell_data covers EVERY cell
+    (backend/app/services/result_sync.py:428-454), not just linked ones."""
     key = ["client_id", "dataset_name", "table_name", "row_id", "col_id"]
-    top1 = ranked.where(F.col("rank") == 1)
+    top1 = ranked.where((F.col("rank") == 1) | F.col("rank").isNull())
     types_col = (
         F.array_sort(F.transform(F.col("types"), lambda t: t["id"]))
         if "types" in ranked.columns
@@ -387,15 +392,32 @@ def training_export(ranked: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def link_cells(
-    input_rows: DataFrame, kb: DataFrame, cfg: PipelineConfig | None = None
+    input_rows: DataFrame,
+    kb: DataFrame,
+    cfg: PipelineConfig | None = None,
+    keep_unlinked: bool = True,
 ) -> DataFrame:
     """Full EL phase (section 3.1 steps 1-2): cells -> ranked candidates
     with features. Returns the flat candidates table (one row per cell x
-    candidate) with rank and train_rank."""
+    candidate) with rank and train_rank.
+
+    ``keep_unlinked`` (default True, r4): a valid NE cell whose mention
+    matched NOTHING in the KB survives as one row with null candidate
+    columns and null rank -- parity with the reference, which writes
+    el_results even when empty (crocodile/processors.py:236-246) so the
+    backend's cell_data covers every cell. rank-bounded consumers
+    (top_k_results, training_export, export_el top-1) drop these rows
+    naturally via their rank predicates; build_cell_data keeps them."""
     cfg = cfg or PipelineConfig()
     cells = extract_cells(input_rows)
     cands = generate_candidates(cells, kb, cfg)
     cands = inject_gold_candidates(cands, cells, kb)
     cell_cands = cells.join(cands, "mention_norm", "inner")
     feats = compute_features(cell_cands, cfg)
-    return heuristic_rank(feats, cfg)
+    ranked = heuristic_rank(feats, cfg)
+    if keep_unlinked:
+        unlinked = cells.join(
+            cands.select("mention_norm").distinct(), "mention_norm", "left_anti"
+        )
+        ranked = ranked.unionByName(unlinked, allowMissingColumns=True)
+    return ranked

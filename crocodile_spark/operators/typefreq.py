@@ -131,12 +131,19 @@ def ml_rerank(
          if c in df.columns),
         F.lit(float(bias)),
     )
-    out = df.withColumn("_z", z).withColumn(
+    # unlinked-cell rows (null qid, kept by link_cells since r4) carry no
+    # candidate to score: leave ml_score/ml_rank null instead of assigning
+    # them sigmoid(bias) and rank 1 for a nonexistent candidate
+    linked = F.col("qid").isNotNull() if "qid" in df.columns else F.lit(True)
+    out = df.withColumn("_z", F.when(linked, z)).withColumn(
         "ml_score", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z")))
     )
     # rank by the LINEAR score: sigmoid is monotone but not injective in
     # float64, so ordering by ml_score could tie two candidates whose z
     # differ by a few ulp and fall back to the qid tie-break while an
-    # exact-z comparison (e.g. the DuckDB oracle) would not
+    # exact-z comparison (e.g. the DuckDB oracle) would not. desc ordering
+    # puts null _z last, so real candidates keep ranks 1..n.
     w_rank = Window.partitionBy(*CELL_KEY).orderBy(F.desc("_z"), F.asc("qid"))
-    return out.withColumn("ml_rank", F.row_number().over(w_rank)).drop("_z")
+    return out.withColumn(
+        "ml_rank", F.when(linked, F.row_number().over(w_rank))
+    ).drop("_z")

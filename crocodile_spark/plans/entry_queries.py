@@ -1586,7 +1586,35 @@ def _el_ranked(spark):
     from crocodile_spark.operators.el import link_cells
 
     corpus = make_corpus(n_entities=30, pages_per_entity=4, seed=42)
-    input_rows = el_fixture_to_spark(spark, make_el_fixture(corpus, n_rows=25, seed=43))
+    pdf = make_el_fixture(corpus, n_rows=25, seed=43)
+    # r4: plant one UNMATCHABLE mention (nonsense tokens absent from every
+    # KB name, no gold qid) so the unlinked-cell coverage law -- a valid NE
+    # cell with zero candidates survives into cell_data with null
+    # confidence (processors.py:236-246 / result_sync.py:428-454) -- is
+    # exercised by the driver gate, not only by pytest
+    import pandas as pd
+
+    pdf = pd.concat(
+        [
+            pdf,
+            pd.DataFrame(
+                [
+                    {
+                        "client_id": "c1",
+                        "dataset_name": "ds1",
+                        "table_name": "t1",
+                        "row_id": 25,
+                        "data": ["zzqxv kwwyj", "1987", "xvvqz jjwwk", "n/a"],
+                        "ne_cols": {"0": "OTHER"},
+                        "context_cols": [0, 1],
+                        "correct_qids": {},
+                    }
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    input_rows = el_fixture_to_spark(spark, pdf)
     kb = kb_to_spark(spark, make_ambiguous_kb(corpus))
     input_rows.write.mode("overwrite").parquet(f"{_EL_ORACLE_DIR}/input_rows.parquet")
     kb.write.mode("overwrite").parquet(f"{_EL_ORACLE_DIR}/kb.parquet")
@@ -1772,7 +1800,11 @@ def q_w4_ml_rerank(spark, sf_dir):
 
     ranked = _el_ranked(spark)
     out = ml_rerank(ranked, PipelineConfig(), weights=_W4_WEIGHTS, bias=_W4_BIAS)
-    return out.select("row_id", "col_id", "qid", "ml_rank")
+    # W4 re-ranks CANDIDATES; the fixture's planted unlinked cell (null
+    # qid, null ml_rank) has nothing to re-rank and is not part of this law
+    return out.where(F.col("qid").isNotNull()).select(
+        "row_id", "col_id", "qid", "ml_rank"
+    )
 
 
 SQL_W4 = _EL_CTE.replace(
@@ -1849,14 +1881,18 @@ ORDER BY confidence DESC, row_id ASC, col_id ASC LIMIT 10
 """
 
 
+# r4 coverage law: LEFT join from cells so zero-candidate cells appear
+# with null confidence and empty type_ids (parity with el.py
+# build_cell_data keeping rank-null rows)
 SQL_J7 = _EL_CTE + """
-SELECT r.row_id, r.col_id, c.cell_value AS cell_text,
+SELECT c.row_id, c.col_id, c.cell_value AS cell_text,
        round(r.score, 6) AS confidence,
-       array_to_string(list_sort(list_transform(k.types, t -> t.id)), ',') AS type_ids
-FROM ranked r
-JOIN cells c ON c.row_id = r.row_id AND c.col_id = r.col_id
-JOIN kbn k USING (qid)
-WHERE r.rank = 1
+       coalesce(array_to_string(list_sort(list_transform(k.types, t -> t.id)), ','),
+                '') AS type_ids
+FROM cells c
+LEFT JOIN (SELECT * FROM ranked WHERE rank = 1) r
+  ON c.row_id = r.row_id AND c.col_id = r.col_id
+LEFT JOIN kbn k ON k.qid = r.qid
 """
 
 

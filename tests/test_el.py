@@ -321,3 +321,57 @@ def test_a2_sample_fraction_is_unbiased(spark, ranked):
     )
     frac = kept.count() / max(base.count(), 1)
     assert 0.05 <= frac <= 0.40  # would be ~0.6 under the sign bug
+
+
+def test_unlinked_cells_survive_into_cell_data(spark, corpus):
+    """r4 coverage law: a valid NE cell whose mention matches NOTHING in
+    the KB (no exact block, no shared fuzzy token, no gold) must survive
+    link_cells with null candidate columns / null rank and reach
+    build_cell_data with null confidence -- parity with the reference
+    writing el_results even when empty (crocodile/processors.py:236-246)
+    and the backend's full-coverage cell_data (result_sync.py:428-454)."""
+    import pandas as pd
+
+    from crocodile_spark.datagen import corpus_to_spark
+    from crocodile_spark.operators.el import build_cell_data
+
+    pdf = make_el_fixture(corpus, n_rows=5, seed=43)
+    pdf = pd.concat(
+        [
+            pdf,
+            pd.DataFrame(
+                [
+                    {
+                        "client_id": "c1",
+                        "dataset_name": "ds1",
+                        "table_name": "t1",
+                        "row_id": 5,
+                        "data": ["zzqxv kwwyj", "1987", "xvvqz jjwwk", "n/a"],
+                        "ne_cols": {"0": "OTHER"},
+                        "context_cols": [0, 1],
+                        "correct_qids": {},
+                    }
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    input_rows = el_fixture_to_spark(spark, pdf)
+    _, kb, _ = corpus_to_spark(spark, corpus)
+    ranked = link_cells(input_rows, kb, PipelineConfig())
+
+    mine = ranked.where(F.col("row_id") == 5).collect()
+    assert len(mine) == 1, "unlinked cell must survive as exactly one row"
+    assert mine[0]["qid"] is None and mine[0]["rank"] is None
+    assert mine[0]["cell_value"] == "zzqxv kwwyj"
+    # rank-bounded consumers drop it naturally
+    assert top_k_results(ranked, PipelineConfig()).where(
+        F.col("row_id") == 5
+    ).count() == 0
+    # cell_data keeps it with null confidence
+    cd = build_cell_data(ranked).where(F.col("row_id") == 5).collect()
+    assert len(cd) == 1
+    assert cd[0]["confidence"] is None and cd[0]["cell_text"] == "zzqxv kwwyj"
+    # ml re-rank leaves it unranked rather than ranking a nonexistent candidate
+    rr = ml_rerank(ranked, PipelineConfig()).where(F.col("row_id") == 5).collect()
+    assert len(rr) == 1 and rr[0]["ml_rank"] is None
