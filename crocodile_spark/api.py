@@ -13,10 +13,14 @@ lifecycle on Spark:
   -> logistic re-rank (M1/W4)
   -> export (J6 wide format, header-named columns; S8 CSV on request)
 
-The two deliberate deviations from the reference's signature:
+The three deliberate deviations from the reference's signature:
 ``entity_retrieval_endpoint``/``token`` are replaced by a ``kb`` DataFrame
-(candidate retrieval is an in-engine blocking join, SURVEY.md S6), and
-``max_workers``/``ml_ranking_workers`` are absent (Spark owns parallelism).
+(candidate retrieval is an in-engine blocking join, SURVEY.md S6),
+``max_workers``/``ml_ranking_workers`` are absent (Spark owns parallelism),
+and ``run()`` returns a SPARK DataFrame by default -- the reference's
+pandas return is the ``return_dataframe=True`` opt-in, because the
+advertised entry point of a cluster engine must not collect an
+arbitrarily large result onto the driver (VERDICT r3 #2).
 
 Scale posture: onboarding is fully distributed for Spark-DataFrame and CSV
 inputs -- the input never round-trips through the driver (no ``toPandas``,
@@ -70,10 +74,24 @@ def sequential_row_id(df: DataFrame, col: str = "row_id") -> DataFrame:
     off_map = F.create_map(
         *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
     )
-    return (
-        pos.withColumn(col, (F.col(pos_c) + off_map[F.col(part)]).cast("int"))
-        .drop(mono, part, pos_c)
+    # contract guard (ADVICE r3): a nondeterministic input whose partition
+    # layout changed between the count job and the tagging job would miss
+    # the offset map and silently yield null row_ids, corrupting the gold
+    # and export joins downstream -- fail loudly instead. assert_true
+    # returns null on success, so the when() keeps the id expression.
+    offset = off_map[F.col(part)]
+    guarded = F.when(
+        F.assert_true(
+            offset.isNotNull(),
+            F.lit(
+                "sequential_row_id: partition id absent from the offset map -- "
+                "the input plan is nondeterministic across re-evaluations "
+                "(see the function contract); materialize it first"
+            ),
+        ).isNull(),
+        (F.col(pos_c) + offset).cast("int"),
     )
+    return pos.withColumn(col, guarded).drop(mono, part, pos_c)
 
 
 def _string_map_lit(d: dict) -> F.Column:
@@ -99,11 +117,14 @@ def _qcol(name: str) -> F.Column:
     return F.col("`" + name.replace("`", "``") + "`")
 
 
-# the NA tokens pandas.read_csv treats as missing by default (public pandas
-# behavior); applied only to CSV inputs for parity with the reference's
-# pandas-based CSV loading
-_CSV_NA_TOKENS = ("", "NaN", "nan", "N/A", "n/a", "NA", "<NA>", "NULL",
-                  "null", "None")
+# the FULL default na_values list of pandas.read_csv (documented, stable
+# public pandas behavior); applied only to CSV inputs for parity with the
+# reference's pandas-based CSV loading
+_CSV_NA_TOKENS = (
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null",
+)
 
 
 def _scrub_expr(field: T.StructField, input_kind: str) -> F.Column:
@@ -138,7 +159,7 @@ class CrocodileSpark:
         candidate_retrieval_limit: int = 16,
         top_n_for_type_freq: int = 3,
         save_output_to_csv: str | None = None,
-        return_dataframe: bool = True,
+        return_dataframe: bool = False,
         spark: SparkSession | None = None,
     ):
         """``input_csv``: a CSV path, a pandas DataFrame, or a Spark
@@ -293,8 +314,11 @@ class CrocodileSpark:
     # -- full lifecycle --------------------------------------------------------
     def run(self):
         """Onboard -> EL -> type frequencies -> logistic re-rank -> J6-shape
-        export. Returns the enriched wide table (Spark DataFrame, or pandas
-        when return_dataframe=True like the reference)."""
+        export. Returns the enriched wide table as a Spark DataFrame by
+        DEFAULT (r4 scale posture: the advertised entry point must not
+        land a 100x table on the driver); pass return_dataframe=True to
+        opt into the reference's pandas return for human-sized tables
+        (crocodile/crocodile.py:193-199 returns pandas)."""
         from crocodile_spark.operators.el import export_el, link_cells
         from crocodile_spark.operators.typefreq import (
             attach_type_freq_features,

@@ -35,8 +35,14 @@ class PipelineConfig:
     # EL fuzzy-retry (T5) skew guard: a KB name token indexing more than
     # this many entries is dropped from the token block key -- it cannot
     # discriminate within candidate_retrieval_limit and only inflates the
-    # pre-window join (el.py::fuzzy_token_index)
+    # pre-window join (el.py::select_fuzzy_tokens)
     fuzzy_token_df_cap: int = 256
+    # per-mention fallback (ADVICE r3): a mention whose EVERY token is hot
+    # keeps its least-frequent token anyway (the reference retrieves and
+    # caps by score), bounded by this larger cap so one pathological
+    # mention cannot pull an unbounded candidate set through the
+    # pre-window join; beyond it the recall deviation is accepted+documented
+    fuzzy_fallback_df_cap: int = 4096
 
     # ---- scoring (stage 3) ----
     score_threshold: float = 0.42           # heuristic-mean edge threshold (W1);

@@ -125,18 +125,64 @@ def extract_cells(input_rows: DataFrame) -> DataFrame:
     )
 
 
+def kb_token_index(kbn: DataFrame, kb_columns: list[str]) -> DataFrame:
+    """(KB row, token) index for the T5 fuzzy retry."""
+    return kbn.select(*kb_columns, F.explode("name_tokens").alias("token"))
+
+
+def kb_token_df(kb_tok: DataFrame) -> DataFrame:
+    """(token, df) document frequencies of the KB name tokens -- a
+    map-side-combined aggregate, skew-immune."""
+    return kb_tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+
+def select_fuzzy_tokens(
+    sparse_tokens: DataFrame, token_df: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Per-mention fuzzy block-token selection with the DF cap and the
+    least-frequent-token fallback (ADVICE r3).
+
+    A token naming more than ``fuzzy_token_df_cap`` KB entries carries no
+    retrieval signal and is the one quadratic-join risk in the EL path, so
+    it is normally dropped. But a mention whose EVERY token is hot
+    ("grand hotel unseen" over a hotel KB) would then retrieve ZERO fuzzy
+    candidates where the reference retrieves and caps by score -- so each
+    such mention keeps its LEAST-frequent KB token (deterministic
+    tie-break on the token string), bounded by the larger
+    ``fuzzy_fallback_df_cap`` (beyond that even one token would pull an
+    unbounded candidate set through the pre-window join; the residual
+    recall deviation above the fallback cap is the documented trade).
+
+    The per-mention window partitions are tiny (a mention's token count),
+    so the two window passes are shuffle-bounded by the sparse-mention
+    table, not the KB."""
+    st = sparse_tokens.join(token_df, "token", "inner")  # tokens known to the KB
+    w = Window.partitionBy("mention_norm")
+    st = st.withColumn(
+        "_usable", (F.col("df") <= cfg.fuzzy_token_df_cap).cast("int")
+    ).withColumn("_any_usable", F.max("_usable").over(w))
+    best = F.min_by(
+        F.struct(F.col("df"), F.col("token")), F.struct(F.col("df"), F.col("token"))
+    ).over(w)
+    st = st.withColumn("_best_token", best["token"]).withColumn("_best_df", best["df"])
+    keep = (F.col("_usable") == 1) | (
+        (F.col("_any_usable") == 0)
+        & (F.col("token") == F.col("_best_token"))
+        & (F.col("_best_df") <= cfg.fuzzy_fallback_df_cap)
+    )
+    return st.where(keep).select("mention_norm", "token")
+
+
 def fuzzy_token_index(
     kbn: DataFrame, kb_columns: list[str], cfg: PipelineConfig
 ) -> DataFrame:
-    """(KB row, token) index for the T5 fuzzy retry, DF-capped: tokens
-    naming more than ``cfg.fuzzy_token_df_cap`` entries are excluded (hot
-    tokens carry no retrieval signal and are the one quadratic-join risk in
-    the EL path). The count is a map-side-combined aggregate over ids only;
-    the wide KB row is joined back after the cap filter."""
-    kb_tok = kbn.select(*kb_columns, F.explode("name_tokens").alias("token"))
+    """DF-capped (KB row, token) index: tokens naming more than
+    ``cfg.fuzzy_token_df_cap`` entries are excluded. generate_candidates
+    now uses kb_token_index + select_fuzzy_tokens (per-mention fallback);
+    this mention-agnostic form remains for callers without one."""
+    kb_tok = kb_token_index(kbn, kb_columns)
     usable = (
-        kb_tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+        kb_token_df(kb_tok)
         .where(F.col("df") <= cfg.fuzzy_token_df_cap)
         .select("token")
     )
@@ -188,8 +234,10 @@ def generate_candidates(
             "token", F.explode(tokenize(F.col("mention_norm"), remove_stopwords=False))
         )
     )
+    kb_tok = kb_token_index(kbn, kb.columns)
+    chosen = select_fuzzy_tokens(sparse, kb_token_df(kb_tok), cfg)
     fuzzy = (
-        sparse.join(fuzzy_token_index(kbn, kb.columns, cfg), "token", "inner")
+        chosen.join(kb_tok, "token", "inner")
         .select("mention_norm", *kb.columns)
         .distinct()
     )

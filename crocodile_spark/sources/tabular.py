@@ -131,10 +131,29 @@ def export_csv_stream(df: DataFrame, batch_rows: int = 256):
     return chunks()
 
 
-def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+def export_csv(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    single_file_row_bound: int = 1_000_000,
+) -> None:
     """S8: CSV sink with header; ``single_file`` mirrors the reference's
-    one-growing-file behavior (driver-side coalesce -- use only for
-    human-sized exports)."""
+    one-growing-file behavior (one task writes everything -- only for
+    human-sized exports).
+
+    Scale guard (r4): ``single_file=True`` counts the frame first and
+    raises when it exceeds ``single_file_row_bound`` rather than silently
+    serializing a 100x table through one task; callers that genuinely want
+    a giant single file raise the bound explicitly."""
+    if single_file:
+        n = df.count()
+        if n > single_file_row_bound:
+            raise ValueError(
+                f"export_csv(single_file=True): {n} rows exceeds the "
+                f"single-file bound {single_file_row_bound}; write "
+                "distributed (single_file=False) or raise "
+                "single_file_row_bound explicitly"
+            )
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -74,7 +74,7 @@ def test_facade_reads_csv_path(spark, table_and_kb, tmp_path):
     pdf, kb, _, ents = table_and_kb
     p = str(tmp_path / "in.csv")
     pdf.to_csv(p, index=False)
-    croco = CrocodileSpark(input_csv=p, kb=kb, spark=spark,
+    croco = CrocodileSpark(input_csv=p, kb=kb, spark=spark, return_dataframe=True,
                            columns_type={"NE": {"0": "OTHER"}, "LIT": {}, "IGNORED": []})
     out = croco.run()
     assert len(out) == len(pdf)
@@ -141,7 +141,7 @@ def test_facade_empty_table_and_all_ignored(spark, table_and_kb):
     # all-IGNORED classification: no NE cells -> empty enriched extras,
     # rows preserved
     croco = CrocodileSpark(
-        input_csv=pdf, kb=kb, spark=spark,
+        input_csv=pdf, kb=kb, spark=spark, return_dataframe=True,
         columns_type={"NE": {}, "LIT": {}, "IGNORED": ["0", "1", "2"]},
     )
     out = croco.run()
@@ -150,7 +150,7 @@ def test_facade_empty_table_and_all_ignored(spark, table_and_kb):
 
     # empty input table
     croco2 = CrocodileSpark(
-        input_csv=pdf.iloc[0:0], kb=kb, spark=spark,
+        input_csv=pdf.iloc[0:0], kb=kb, spark=spark, return_dataframe=True,
         columns_type={"NE": {"0": "OTHER"}, "LIT": {}, "IGNORED": []},
     )
     assert len(croco2.run()) == 0
@@ -181,7 +181,7 @@ def test_facade_nan_and_missing_cells(spark, table_and_kb):
     dirty = pdf.copy()
     dirty.loc[0, "film"] = float("nan")   # NaN mention -> P4 drop, row kept
     croco = CrocodileSpark(
-        input_csv=dirty, kb=kb, spark=spark,
+        input_csv=dirty, kb=kb, spark=spark, return_dataframe=True,
         columns_type={"NE": {"0": "OTHER"}, "LIT": {"1": "NUMBER"}, "IGNORED": []},
     )
     out = croco.run().sort_values("row_id")
@@ -201,7 +201,7 @@ def test_facade_dotted_headers_and_literal_nan_strings(spark, table_and_kb):
     dotted = dotted.copy()
     dotted.loc[2, "note"] = "NaN"  # literal string, must survive
     croco = CrocodileSpark(
-        input_csv=dotted, kb=kb, spark=spark,
+        input_csv=dotted, kb=kb, spark=spark, return_dataframe=True,
         columns_type={"NE": {"0": "OTHER"}, "LIT": {"1": "NUMBER"}, "IGNORED": []},
     )
     onboarded = croco.onboard()
@@ -248,3 +248,116 @@ def test_facade_malformed_gold_key_ignored(spark, table_and_kb):
     assert onboarded.count() == len(pdf)
     q0 = onboarded.where("row_id = 0").first()["correct_qids"]
     assert q0 == {"0-0": ents[0]["qid"]}
+
+
+def test_facade_default_output_is_distributed(spark, table_and_kb, monkeypatch):
+    """VERDICT r3 #3: the DEFAULT run() path must be symmetric with the
+    distributed input path -- no toPandas, no coalesce(1), no collect on
+    the output. The pandas return is an explicit opt-in."""
+    from pyspark.sql import DataFrame
+
+    pdf, kb, gold, ents = table_and_kb
+    croco = CrocodileSpark(
+        input_csv=spark.createDataFrame(pdf.astype(str)), kb=kb, spark=spark,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {"1": "NUMBER"}, "IGNORED": ["2"]},
+        correct_qids=gold, candidate_retrieval_limit=10,
+    )
+
+    def _boom(name):
+        def fn(self, *a, **k):
+            raise AssertionError(f"driver-side {name} on the default facade path")
+        return fn
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom("toPandas"))
+    monkeypatch.setattr(DataFrame, "coalesce", _boom("coalesce"))
+    out = croco.run()
+    assert isinstance(out, DataFrame)
+    rows = {r["row_id"]: r["film_id"] for r in out.collect()}
+    acc = sum(rows[i] == ents[i]["qid"] for i in range(len(ents))) / len(ents)
+    assert acc >= 0.9
+
+
+def test_export_csv_single_file_row_bound(spark, tmp_path):
+    """export_csv(single_file=True) refuses to serialize a frame beyond
+    its row bound through one task (r4 scale guard)."""
+    from crocodile_spark.sources.tabular import export_csv
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    with pytest.raises(ValueError, match="single-file bound"):
+        export_csv(df, str(tmp_path / "big"), single_file=True,
+                   single_file_row_bound=50)
+    # under the bound: writes exactly one part file
+    export_csv(df, str(tmp_path / "ok"), single_file=True,
+               single_file_row_bound=1000)
+    import glob
+    assert len(glob.glob(str(tmp_path / "ok" / "part-*"))) == 1
+
+
+def test_fuzzy_fallback_keeps_least_frequent_hot_token(spark):
+    """ADVICE r3: a sparse mention whose EVERY token is hot (df over the
+    cap) keeps its least-frequent token instead of retrieving nothing."""
+    from pyspark.sql import functions as F
+
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.operators.el import (
+        kb_token_df,
+        kb_token_index,
+        select_fuzzy_tokens,
+    )
+    from crocodile_spark.functions.normalize import normalize_mention, tokenize
+
+    # KB: 'grand' in 5 names, 'hotel' in 4, 'plaza' in 1
+    names = (["grand hotel %d" % i for i in range(4)]
+             + ["grand plaza"])
+    kb = spark.createDataFrame([(f"Q{i}", n) for i, n in enumerate(names)],
+                               "qid string, name string")
+    kbn = kb.withColumn("name_norm", normalize_mention(F.col("name"))).withColumn(
+        "name_tokens", tokenize(F.col("name"), remove_stopwords=False)
+    )
+    kb_tok = kb_token_index(kbn, kb.columns)
+    cfg = PipelineConfig(fuzzy_token_df_cap=2, fuzzy_fallback_df_cap=100)
+    sparse = spark.createDataFrame(
+        [("grand hotel", "grand"), ("grand hotel", "hotel")],
+        "mention_norm string, token string",
+    )
+    chosen = select_fuzzy_tokens(sparse, kb_token_df(kb_tok), cfg)
+    got = [(r["mention_norm"], r["token"]) for r in chosen.collect()]
+    # both tokens are hot (df 5 and 4 > cap 2): keep ONLY the least
+    # frequent one ('hotel', df=4)
+    assert got == [("grand hotel", "hotel")]
+
+    # with a usable token present, hot tokens stay dropped
+    sparse2 = spark.createDataFrame(
+        [("grand plaza", "grand"), ("grand plaza", "plaza")],
+        "mention_norm string, token string",
+    )
+    got2 = [(r["mention_norm"], r["token"])
+            for r in select_fuzzy_tokens(sparse2, kb_token_df(kb_tok), cfg).collect()]
+    assert got2 == [("grand plaza", "plaza")]
+
+    # beyond the fallback cap: nothing is kept (documented recall trade)
+    cfg3 = PipelineConfig(fuzzy_token_df_cap=2, fuzzy_fallback_df_cap=3)
+    got3 = select_fuzzy_tokens(sparse, kb_token_df(kb_tok), cfg3).count()
+    assert got3 == 0
+
+
+def test_sequential_row_id_guard_fails_loudly_on_missing_offset(spark):
+    """ADVICE r3: a partition id absent from the offset map must raise,
+    not silently null row_ids."""
+    import pyspark.sql.functions as F
+
+    from crocodile_spark import api as api_mod
+
+    df = spark.range(0, 100, 1, 4).select(F.col("id").alias("k"))
+    real_create_map = F.create_map
+    # simulate a nondeterministic layout: drop one partition's offset
+    def broken_map(*args):
+        return real_create_map(*args[:2])  # keep only the first entry
+
+    orig = api_mod.F.create_map
+    api_mod.F.create_map = broken_map
+    try:
+        with pytest.raises(Exception, match="sequential_row_id|ASSERT"):
+            api_mod.sequential_row_id(df).collect()
+    finally:
+        api_mod.F.create_map = orig
