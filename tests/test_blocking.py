@@ -70,3 +70,69 @@ def test_block_stage_recall_on_corpus(spark, corpus_dfs):
     covered = pos.join(pairs, ["url_a", "url_b"], "left_semi").count()
     total = pos.count()
     assert covered / total > 0.95, f"blocking recall {covered}/{total}"
+
+
+# ---- spread() width guard (r4 hardening: VERDICT #7 / ADVICE r3) ----------
+
+
+def test_spread_derived_frame_untouched_without_jobs(spark, tmp_path):
+    """A shuffle-bearing (derived) frame must be returned AS-IS without
+    triggering any Spark job: under AQE, probing its width would execute
+    the upstream stages twice."""
+    from crocodile_spark.operators.blocking import spread
+
+    df = (
+        spark.range(0, 10000, 1, 4)
+        .selectExpr("id % 7 AS k", "id AS v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    spark.sparkContext.setJobGroup("spread-probe", "spread must not run jobs")
+    try:
+        out = spread(df)
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("spread-probe")
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert out is df, "derived frame must be returned untouched"
+    assert list(jobs) == [], f"spread() ran jobs on a derived frame: {jobs}"
+
+
+def test_spread_not_fooled_by_operator_like_column_name(spark, tmp_path):
+    """The old substring heuristic skipped the guard when a COLUMN was
+    named like an operator ('sort_Distinct'); the node-type walk must
+    still widen such a scan."""
+    from crocodile_spark.operators.blocking import spread
+
+    p = str(tmp_path / "wide.parquet")
+    spark.range(0, 50000, 1, 32).selectExpr(
+        "id", "repeat('x', 64) AS payload"
+    ).coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p).select(
+        F.col("id").alias("sort_Distinct"), "payload"
+    )
+    assert scan.rdd.getNumPartitions() == 1
+    out = spread(scan)
+    assert out.rdd.getNumPartitions() > 1, "scan with operator-like column name not widened"
+
+
+def test_spread_tiny_scan_and_escape_hatch(spark, tmp_path):
+    """Frames below the byte floor stay narrow (no mostly-empty tasks);
+    spark.croco.spread.enabled=false disables the guard entirely."""
+    from crocodile_spark.operators.blocking import spread
+
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(10).coalesce(1).write.parquet(p)
+    tiny = spark.read.parquet(p)
+    assert spread(tiny) is tiny, "tiny scan must not be repartitioned"
+
+    big = str(tmp_path / "big.parquet")
+    spark.range(0, 50000, 1, 1).selectExpr(
+        "id", "repeat('y', 64) AS payload"
+    ).write.parquet(big)
+    scan = spark.read.parquet(big)
+    spark.conf.set("spark.croco.spread.enabled", "false")
+    try:
+        assert spread(scan) is scan, "escape hatch must disable the guard"
+    finally:
+        spark.conf.unset("spark.croco.spread.enabled")
+    assert spread(scan).rdd.getNumPartitions() > 1
