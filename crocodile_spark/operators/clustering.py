@@ -5,16 +5,26 @@ cluster id = min member).
 
 No GraphFrames dependency: a driver-side loop of joins/aggregations with a
 cheap fixed-point check (row count + order-independent xxhash checksum) and
-``localCheckpoint`` per round to cut lineage. Node ids are the record urls
-(strings); min-comparison on strings is total and deterministic. At 10^12
-nodes one would dictionary-encode urls to longs in a prior stage; the loop
-itself is scale-oblivious -- every round is two shuffles on the node key.
+``localCheckpoint`` per round to cut lineage.
+
+Node-id encoding (r4, the 10^12-node prerequisite this module's r3
+docstring named): string node ids (urls) are DICTIONARY-ENCODED to longs
+before the loop and decoded after. The dictionary is the distinct node
+table, checkpointed, tagged with ``monotonically_increasing_id`` --
+collision-free by construction (partition_id << 33 | position), no count
+job, no giant map literal, no extra shuffle beyond the distinct the node
+table needs anyway. Every CC round then shuffles 8-byte keys instead of
+full url strings (the loop's dominant shuffle bytes at web scale). The
+final assignment re-derives cluster_id = min member URL per component, so
+the output is byte-identical to the un-encoded form regardless of which
+long ids the dictionary handed out.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -62,12 +72,9 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(
-    edges: DataFrame, max_iterations: int = 20
-) -> DataFrame:
-    """edges(u, v) -> assignments(node, cluster_id) with cluster_id = min
-    member of the component. Nodes appearing in no edge are absent (the
-    caller unions singletons)."""
+def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """The raw alternating-star loop: edges(u, v) -> (node, cluster_id)
+    with cluster_id = min member under the node type's natural order."""
     e = _canon(edges).localCheckpoint(eager=True)
     prev = _checksum(e)
     for _ in range(max_iterations):
@@ -80,6 +87,63 @@ def connected_components(
     members = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
     roots = e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")).distinct()
     return members.union(roots).distinct()
+
+
+def encode_node_dictionary(edges: DataFrame) -> DataFrame:
+    """(node, nid) dictionary over every node appearing in the edge set.
+
+    ``monotonically_increasing_id`` over the CHECKPOINTED distinct node
+    table: unique by construction, stable across the encode and decode
+    joins because the input partitions are frozen first. Ids are sparse,
+    which CC never cares about -- it needs only uniqueness and a total
+    order."""
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return nodes.withColumn("nid", F.monotonically_increasing_id())
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, encode_ids: bool | None = None
+) -> DataFrame:
+    """edges(u, v) -> assignments(node, cluster_id) with cluster_id = min
+    member of the component. Nodes appearing in no edge are absent (the
+    caller unions singletons).
+
+    ``encode_ids`` (default: auto -- on for string node ids): run the
+    star loop over dictionary-encoded longs and decode afterwards; the
+    returned cluster_id is the min member in the ORIGINAL id space either
+    way, so callers and oracles see identical output."""
+    if encode_ids is None:
+        encode_ids = isinstance(edges.schema["u"].dataType, T.StringType)
+    if not encode_ids:
+        return _cc_loop(edges, max_iterations)
+
+    node_dict = encode_node_dictionary(edges)
+    enc = (
+        edges.join(
+            node_dict.select(F.col("node").alias("u"), F.col("nid").alias("_eu")), "u"
+        )
+        .join(
+            node_dict.select(F.col("node").alias("v"), F.col("nid").alias("_ev")), "v"
+        )
+        .select(F.col("_eu").alias("u"), F.col("_ev").alias("v"))
+    )
+    assign_l = _cc_loop(enc, max_iterations)
+    # decode: long -> original id, then re-derive the representative as the
+    # min ORIGINAL id per component (the long-space min is an arbitrary
+    # member under the dictionary's id assignment)
+    dec = assign_l.join(
+        node_dict.select(F.col("nid").alias("node"), F.col("node").alias("_orig")),
+        "node",
+    ).select(F.col("_orig").alias("node"), "cluster_id")
+    rep = dec.groupBy("cluster_id").agg(F.min("node").alias("_rep"))
+    return dec.join(rep, "cluster_id").select(
+        "node", F.col("_rep").alias("cluster_id")
+    )
 
 
 def cluster_records(

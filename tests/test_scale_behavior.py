@@ -112,8 +112,10 @@ def test_el_fuzzy_token_join_hot_token_capped(spark):
     assert "zanzibar" in toks
     assert idx.count() <= 64 * idx.select("token").distinct().count()
 
-    # end to end: a mention sharing only hot tokens retrieves nothing via
-    # fuzzy; one sharing a rare token still retrieves its entry
+    # end to end (r4, ADVICE fallback): a mention sharing ONLY hot tokens
+    # keeps its least-frequent token (bounded by the fallback cap), so it
+    # retrieves candidates capped at the retrieval limit instead of zero;
+    # a rare-token mention is unaffected
     cells = spark.createDataFrame(
         [("grand hotel unseen",), ("zanzibar lodge",)], ["mention_norm"]
     ).select(
@@ -127,7 +129,23 @@ def test_el_fuzzy_token_join_hot_token_capped(spark):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    assert per_mention.get("grand hotel unseen", 0) == 0
+    assert 1 <= per_mention.get("grand hotel unseen", 0) <= 16
     assert per_mention.get("zanzibar lodge", 0) >= 1
     q = {r["qid"] for r in cands.where(F.col("mention_norm") == "zanzibar lodge").collect()}
     assert "Q9999" in q
+
+    # below the fallback cap the skew guard still wins: every token hot
+    # AND over fuzzy_fallback_df_cap -> zero fuzzy candidates (documented
+    # recall trade beyond the bounded fallback)
+    cfg_tight = PipelineConfig(
+        fuzzy_token_df_cap=64, fuzzy_fallback_df_cap=64, candidate_retrieval_limit=16
+    )
+    cands_tight = generate_candidates(cells, kb, cfg_tight)
+    tight = {
+        r["mention_norm"]: r["n"]
+        for r in cands_tight.groupBy("mention_norm")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert tight.get("grand hotel unseen", 0) == 0
+    assert tight.get("zanzibar lodge", 0) >= 1
