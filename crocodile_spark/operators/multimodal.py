@@ -2,16 +2,18 @@
 with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-The codec is a REAL, dependency-free container-header parser: PNG / GIF /
-BMP dimensions + channel count and WAV channel count are decoded from the
-payload bytes (struct.unpack over fixed offsets -- the formats' public
-container layouts). Pixel/sample decoding would need a codec library this
-container doesn't ship, so the per-item feature vector remains a
-deterministic content-addressed placeholder (sha256-derived 8 floats),
-clearly documented as such; everything else about the operator -- schema,
-partitioning, Arrow batch shape, the parsed header fields -- is real and
-value-checked against a DuckDB oracle that re-derives the same fields via
-hex arithmetic.
+The codec is a REAL, dependency-free container parser: PNG / GIF / BMP
+dimensions + channel count are decoded from the payload bytes
+(struct.unpack over the formats' public container layouts) and WAV is
+parsed by a real RIFF chunk walk (JUNK/LIST chunks before 'fmt ' are
+handled, ADVICE r3). Since r4 the per-item features are REAL for the
+formats whose samples are decodable without a codec library: BMP pixel
+buffers (uncompressed 8/24/32 bpp) and WAV PCM s16le samples yield
+per-channel mean/std (struct+numpy only), value-checked against a DuckDB
+oracle that re-derives the same statistics via hex/byte arithmetic.
+PNG/GIF pixel data is zlib/LZW-compressed -- decoding it needs a codec
+this container doesn't ship -- so those keep the documented sha-derived
+placeholder feature.
 """
 
 from __future__ import annotations
@@ -39,12 +41,53 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURES_SCHEMA = (
     "media_id long, kind string, format string, n_bytes long, sha string, "
-    "width int, height int, channels int, feat array<double>"
+    "width int, height int, channels int, feat array<double>, "
+    "ch_mean array<double>, ch_std array<double>"
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # PNG color type -> samples per pixel (PNG spec, public)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def walk_riff_chunks(b: bytes):
+    """Yield (chunk_id, data_offset, data_size) for each top-level chunk of
+    a RIFF container, starting after the 12-byte RIFF/WAVE header; chunk
+    sizes are padded to even offsets per the RIFF spec. Truncated chunks
+    are clamped to the available bytes."""
+    off = 12
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        (size,) = struct.unpack("<I", b[off + 4 : off + 8])
+        data_off = off + 8
+        size = min(size, max(0, len(b) - data_off))
+        yield cid, data_off, size
+        off = data_off + size + (size & 1)
+
+
+def parse_wav(b: bytes) -> tuple:
+    """(channels, data_offset, data_size) via a REAL RIFF chunk walk
+    (ADVICE r3: real WAVs carry JUNK/LIST chunks before 'fmt ', so a fixed
+    offset-22 read returns garbage there). Missing fmt/data -> Nones."""
+    channels = data_off = data_size = None
+    for cid, off, size in walk_riff_chunks(b):
+        if cid == b"fmt " and size >= 4 and channels is None:
+            (channels,) = struct.unpack("<H", b[off + 2 : off + 4])
+        elif cid == b"data" and data_off is None:
+            data_off, data_size = off, size
+    return channels, data_off, data_size
+
+
+def parse_bmp(b: bytes) -> tuple:
+    """(width, height, bpp, compression, pixel_data_offset) from the BMP
+    file header + BITMAPINFOHEADER (public layout: data offset LE u32 at
+    10, width/height LE i32 at 18/22, bpp LE u16 at 28, compression LE
+    u32 at 30)."""
+    (data_off,) = struct.unpack("<I", b[10:14])
+    w, h = struct.unpack("<ii", b[18:26])
+    (bpp,) = struct.unpack("<H", b[28:30])
+    comp = struct.unpack("<I", b[30:34])[0] if len(b) >= 34 else None
+    return w, abs(h), bpp, comp, data_off
 
 
 def parse_media_header(b) -> tuple:
@@ -54,7 +97,7 @@ def parse_media_header(b) -> tuple:
       PNG  -- IHDR: width/height big-endian u32 at 16/20, color type at 25
       GIF  -- logical screen: width/height little-endian u16 at 6/8
       BMP  -- BITMAPINFOHEADER: width/height LE i32 at 18/22, bpp LE u16 at 28
-      WAV  -- RIFF/WAVE fmt chunk: channel count LE u16 at 22
+      WAV  -- RIFF/WAVE 'fmt ' chunk located by a real chunk walk (r4)
     Unknown magic -> (None, None, None, None): opaque payloads flow through
     with null header fields instead of failing the batch.
     """
@@ -68,24 +111,100 @@ def parse_media_header(b) -> tuple:
         w, h = struct.unpack("<HH", b[6:10])
         return ("gif", w, h, 3)
     if b[:2] == b"BM" and len(b) >= 30:
-        w, h = struct.unpack("<ii", b[18:26])
-        (bpp,) = struct.unpack("<H", b[28:30])
-        return ("bmp", w, abs(h), max(1, bpp // 8))
+        w, h, bpp, _comp, _off = parse_bmp(b)
+        return ("bmp", w, h, max(1, bpp // 8))
     if b[:4] == b"RIFF" and len(b) >= 24 and b[8:12] == b"WAVE":
-        (ch,) = struct.unpack("<H", b[22:24])
+        ch, _off, _size = parse_wav(b)
         return ("wav", None, None, ch)
     return (None, None, None, None)
 
 
 def content_feature(b, dim: int = 8) -> list[float]:
     """Deterministic content-addressed placeholder embedding: ``dim``
-    floats derived from sha256(payload). A real embedding needs a pixel
-    decoder + model; the placeholder keeps the downstream contract (stable
-    bytes -> stable vector in [0,1]) testable without one."""
+    floats derived from sha256(payload). Used for formats whose pixel data
+    is COMPRESSED (PNG/GIF -- a real decode needs zlib/LZW codecs beyond
+    header parsing) and for unknown payloads; BMP and WAV get REAL content
+    statistics from media_content_stats (r4)."""
     if b is None:
         return [0.0] * dim
     h = hashlib.sha256(bytes(b)).digest()
     return [h[i] / 255.0 for i in range(dim)]
+
+
+def media_content_stats(b) -> tuple:
+    """(ch_mean, ch_std) REAL per-channel content statistics, decoded
+    dependency-free (struct + numpy):
+
+      BMP (uncompressed, 8/24/32 bpp) -- the pixel buffer at the header's
+        data offset as interleaved unsigned channel bytes, normalized /255.
+        When the buffer holds the full pixel array (rowsize*height), rows
+        are decoded properly (4-byte row padding stripped); a truncated
+        buffer falls back to the raw interleaved-buffer law (documented --
+        the synthetic fixtures carry truncated junk bodies on purpose).
+        8bpp is palette-indexed: stats are over the raw index bytes
+        (index-intensity; the palette is not applied).
+      WAV -- PCM s16le samples of the 'data' chunk (located by the chunk
+        walk), channel = sample_index % channels, normalized /32768.
+
+    std is the POPULATION std (numpy default ddof=0 / SQL stddev_pop).
+    Anything else (PNG/GIF compressed pixels, unknown formats, empty
+    buffers) -> (None, None)."""
+    import numpy as np
+
+    if b is None:
+        return (None, None)
+    b = bytes(b)
+    if b[:2] == b"BM" and len(b) >= 34:
+        w, h, bpp, comp, data_off = parse_bmp(b)
+        if comp != 0 or bpp not in (8, 24, 32) or data_off >= len(b):
+            return (None, None)
+        nch = max(1, bpp // 8)
+        buf = np.frombuffer(b, dtype=np.uint8, offset=data_off)
+        row_size = ((w * nch + 3) // 4) * 4
+        if w > 0 and h > 0 and len(buf) >= row_size * h:
+            # full pixel array: strip the per-row padding
+            rows = buf[: row_size * h].reshape(h, row_size)[:, : w * nch]
+            samples = rows.reshape(-1)
+        else:
+            samples = buf  # truncated: raw interleaved-buffer law
+        n = (len(samples) // nch) * nch if nch > 1 else len(samples)
+        if n == 0:
+            return (None, None)
+        chans = samples[:n].reshape(-1, nch).astype(np.float64)
+        return (
+            [float(x) / 255.0 for x in chans.mean(axis=0)],
+            [float(x) / 255.0 for x in chans.std(axis=0)],
+        )
+    if b[:4] == b"RIFF" and len(b) >= 24 and b[8:12] == b"WAVE":
+        nch, data_off, data_size = parse_wav(b)
+        if not nch or data_off is None or data_size < 2:
+            return (None, None)
+        n_samp = data_size // 2
+        smp = np.frombuffer(
+            b, dtype="<i2", offset=data_off, count=n_samp
+        ).astype(np.float64)
+        n = (len(smp) // nch) * nch
+        if n == 0:
+            return (None, None)
+        chans = smp[:n].reshape(-1, nch)
+        return (
+            [float(x) / 32768.0 for x in chans.mean(axis=0)],
+            [float(x) / 32768.0 for x in chans.std(axis=0)],
+        )
+    return (None, None)
+
+
+def media_feature(b, dim: int = 8) -> list[float]:
+    """The per-item feature vector: REAL per-channel mean/std for
+    decodable formats (BMP/WAV), 0.0-padded to ``dim//2`` slots each;
+    the sha-derived placeholder otherwise."""
+    means, stds = media_content_stats(b)
+    if means is None:
+        return content_feature(b, dim)
+    half = dim // 2
+    m = (means + [0.0] * half)[:half]
+    s = (stds + [0.0] * half)[:half]
+    return m + s
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -101,6 +220,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             parsed = pdf["payload"].map(parse_media_header)
+            stats = pdf["payload"].map(media_content_stats)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -117,7 +237,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "width": parsed.map(lambda t: t[1]).astype("Int32"),
                     "height": parsed.map(lambda t: t[2]).astype("Int32"),
                     "channels": parsed.map(lambda t: t[3]).astype("Int32"),
-                    "feat": pdf["payload"].map(content_feature),
+                    "feat": pdf["payload"].map(media_feature),
+                    "ch_mean": stats.map(lambda t: t[0]),
+                    "ch_std": stats.map(lambda t: t[1]),
                 }
             )
 
@@ -162,6 +284,9 @@ def encode_gif(w: int, h: int, body: bytes) -> bytes:
 
 
 def encode_bmp(w: int, h: int, bpp: int, body: bytes) -> bytes:
+    # 14-byte file header + full 40-byte BITMAPINFOHEADER (r4 fix: the
+    # trailing zero block is 24 bytes -- compression..clrImportant -- so
+    # the pixel data really starts at the declared offset 54)
     return (
         b"BM"
         + struct.pack("<I", 54 + len(body))
@@ -170,7 +295,7 @@ def encode_bmp(w: int, h: int, bpp: int, body: bytes) -> bytes:
         + struct.pack("<I", 40)
         + struct.pack("<ii", w, h)
         + struct.pack("<HH", 1, bpp)
-        + b"\x00" * 16
+        + b"\x00" * 24
         + body
     )
 
@@ -203,8 +328,13 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     for i in range(n):
         kind = rng.choice(["image", "audio", "video"])
         junk = bytes(rng.getrandbits(8) for _ in range(rng.randrange(64, 512)))
-        w = rng.randrange(16, 1024)
-        h = rng.randrange(16, 1024)
+        # dims >= 64 keep every synthetic BMP's junk body strictly smaller
+        # than a full pixel array (row_size*height > 4096 > max body), so
+        # the truncated raw-buffer stats law applies uniformly and the
+        # DuckDB oracle replays one law; the full-array row-padding path
+        # is pytest-covered with a properly sized BMP
+        w = rng.randrange(64, 1024)
+        h = rng.randrange(64, 1024)
         if kind == "image":
             fmt = rng.choice(["png", "gif", "bmp"])
             if fmt == "png":

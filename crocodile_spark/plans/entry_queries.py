@@ -1521,8 +1521,19 @@ def q_multimodal_features(spark, sf_dir):
     feats = extract_media_features(
         spark.read.parquet(f"{_MEDIA_ORACLE_DIR}/media.parquet")
     )
+    # r4: ch_mean/ch_std are REAL per-channel content statistics for
+    # BMP/WAV (decoded pixel/PCM buffers), value-checked below via DuckDB
+    # byte arithmetic; null for compressed (PNG/GIF) and unknown formats
     return feats.select(
-        "media_id", "kind", "format", "n_bytes", "width", "height", "channels"
+        "media_id",
+        "kind",
+        "format",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        F.transform("ch_mean", lambda x: F.round(x, 6)).alias("ch_mean"),
+        F.transform("ch_std", lambda x: F.round(x, 6)).alias("ch_std"),
     )
 
 
@@ -1531,6 +1542,17 @@ def _hexbyte(k: int) -> str:
     return f"CAST(('0x'||substr(hx,{2 * k - 1},2)) AS BIGINT)"
 
 
+def _hexbyte_at(expr: str) -> str:
+    """DuckDB: byte at a COMPUTED 1-indexed position of the payload."""
+    return f"CAST(('0x'||substr(hx,2*({expr})-1,2)) AS BIGINT)"
+
+
+# r4: the oracle also re-derives the REAL BMP/WAV per-channel content
+# statistics (decoded pixel-buffer bytes / PCM s16le samples) from the raw
+# payload hex -- same truncated-buffer law as media_content_stats. The
+# fixed 0..1023 series bounds the per-item sample count (payloads are
+# <= ~560 bytes by construction); the canonical-layout WAV offsets are
+# valid for the fixture (the chunk-walk variant is pytest-covered).
 SQL_MULTIMODAL = f"""
 WITH m AS (
   SELECT media_id, kind, octet_length(payload) AS n_bytes, hex(payload) AS hx
@@ -1543,8 +1565,49 @@ WITH m AS (
          WHEN substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645' THEN 'wav'
          ELSE NULL END AS format
   FROM m
+), hdr AS (
+  SELECT media_id, format, n_bytes, hx,
+    CASE WHEN format='wav' THEN {_hexbyte(23)} + 256*{_hexbyte(24)} END AS wav_ch,
+    CASE WHEN format='bmp' THEN {_hexbyte(29)} + 256*{_hexbyte(30)} END AS bpp,
+    CASE WHEN format='bmp' THEN {_hexbyte(11)} + 256*{_hexbyte(12)}
+         + 65536*{_hexbyte(13)} + 16777216*{_hexbyte(14)} END AS bmp_off,
+    CASE WHEN format='bmp' THEN {_hexbyte(31)} + {_hexbyte(32)}
+         + {_hexbyte(33)} + {_hexbyte(34)} END AS bmp_comp
+  FROM p
+), ser AS (
+  SELECT unnest(generate_series(0, 1023)) AS j
+), wav_smp AS (
+  SELECT media_id, j % wav_ch AS c,
+    CASE WHEN {_hexbyte_at('45+2*j')} + 256*{_hexbyte_at('46+2*j')} >= 32768
+         THEN {_hexbyte_at('45+2*j')} + 256*{_hexbyte_at('46+2*j')} - 65536
+         ELSE {_hexbyte_at('45+2*j')} + 256*{_hexbyte_at('46+2*j')} END AS smp
+  FROM (SELECT media_id, wav_ch, hx,
+               (((n_bytes - 44) // 2) // wav_ch) * wav_ch AS nkeep
+        FROM hdr WHERE format='wav' AND wav_ch > 0 AND n_bytes >= 46) w, ser
+  WHERE j < nkeep
+), wav_cstat AS (
+  SELECT media_id, c, avg(smp)/32768.0 AS am, stddev_pop(smp)/32768.0 AS sd
+  FROM wav_smp GROUP BY 1, 2
+), bmp_smp AS (
+  SELECT media_id, j % nch AS c, {_hexbyte_at('bmp_off+1+j')} AS smp
+  FROM (SELECT media_id, hx, greatest(1, bpp // 8) AS nch, bmp_off,
+               ((n_bytes - bmp_off) // greatest(1, bpp // 8))
+               * greatest(1, bpp // 8) AS nkeep
+        FROM hdr
+        WHERE format='bmp' AND bmp_comp = 0 AND bpp IN (8,24,32)
+          AND bmp_off < n_bytes) b, ser
+  WHERE j < nkeep
+), bmp_cstat AS (
+  SELECT media_id, c, avg(smp)/255.0 AS am, stddev_pop(smp)/255.0 AS sd
+  FROM bmp_smp GROUP BY 1, 2
+), cstat AS (
+  SELECT * FROM wav_cstat UNION ALL SELECT * FROM bmp_cstat
+), stats AS (
+  SELECT media_id, list(round(am, 6) ORDER BY c) AS ch_mean,
+         list(round(sd, 6) ORDER BY c) AS ch_std
+  FROM cstat GROUP BY media_id
 )
-SELECT media_id, kind, format, n_bytes,
+SELECT p.media_id, p.kind, p.format, p.n_bytes,
   CASE format
     WHEN 'png' THEN CAST(('0x'||substr(hx,33,8)) AS BIGINT)
     WHEN 'gif' THEN {_hexbyte(7)} + 256*{_hexbyte(8)}
@@ -1563,8 +1626,9 @@ SELECT media_id, kind, format, n_bytes,
     WHEN 'gif' THEN 3
     WHEN 'bmp' THEN greatest(1, ({_hexbyte(29)} + 256*{_hexbyte(30)}) // 8)
     WHEN 'wav' THEN {_hexbyte(23)} + 256*{_hexbyte(24)}
-  END AS channels
-FROM p
+  END AS channels,
+  s.ch_mean, s.ch_std
+FROM p LEFT JOIN stats s USING (media_id)
 """
 
 

@@ -100,8 +100,19 @@ def test_multimodal_plumbing(spark):
     rows = feats.collect()
     assert len(rows) == 32
     assert all(len(r["feat"]) == 8 for r in rows)
-    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feat"])
-    # content-addressed determinism: same payload sha -> same feature
+    # r4: BMP/WAV features are real content stats (WAV means are SIGNED,
+    # in [-1,1]); sha-placeholder formats stay in [0,1]
+    assert all(-1.0 <= v <= 1.0 for r in rows for v in r["feat"])
+    for r in rows:
+        if r["format"] in (None, "png", "gif"):
+            assert all(0.0 <= v <= 1.0 for v in r["feat"])
+            assert r["ch_mean"] is None and r["ch_std"] is None
+        else:  # bmp/wav: real stats present and embedded in feat
+            assert r["ch_mean"] is not None and r["ch_std"] is not None
+            k = len(r["ch_mean"])
+            assert r["feat"][:k] == r["ch_mean"]
+            assert r["feat"][4 : 4 + k] == r["ch_std"]
+    # determinism: same payload -> same feature
     again = {r["media_id"]: r["feat"] for r in extract_media_features(media).collect()}
     assert all(again[r["media_id"]] == r["feat"] for r in rows)
     # real codec: every image payload parses to its encoded dims
@@ -210,3 +221,88 @@ def test_media_header_parser_properties():
 
     roundtrip()
     never_raises()
+
+
+def test_wav_chunk_walk_handles_junk_chunks():
+    """ADVICE r3: real WAVs may carry JUNK/LIST chunks before 'fmt ' --
+    the chunk walk must find fmt and data wherever they sit, and the
+    decoded PCM stats must equal the canonical-layout file's."""
+    import struct
+
+    from crocodile_spark.operators.multimodal import (
+        encode_wav,
+        media_content_stats,
+        parse_media_header,
+        parse_wav,
+    )
+
+    data = bytes((i * 37 + 11) % 256 for i in range(300))
+    canonical = encode_wav(2, 16000, data)
+
+    # same content, JUNK chunk between the RIFF header and fmt
+    junk_payload = b"\x00" * 20
+    body = (
+        b"JUNK" + struct.pack("<I", len(junk_payload)) + junk_payload
+        + canonical[12:]  # fmt + data chunks verbatim
+    )
+    shifted = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    assert parse_wav(shifted)[0] == 2
+    assert parse_media_header(shifted) == ("wav", None, None, 2)
+    m_canon, s_canon = media_content_stats(canonical)
+    m_shift, s_shift = media_content_stats(shifted)
+    assert m_canon == m_shift and s_canon == s_shift
+    assert len(m_canon) == 2 and all(-1.0 <= x <= 1.0 for x in m_canon)
+
+    # fixed-offset-22 would have read garbage here: byte 22 of the shifted
+    # file is inside the JUNK chunk
+    (garbage,) = struct.unpack("<H", shifted[22:24])
+    assert garbage != 2
+
+
+def test_bmp_full_pixel_array_strips_row_padding():
+    """A BMP whose payload carries the full pixel array decodes rows
+    properly: the 4-byte row padding must NOT pollute the channel stats."""
+    import numpy as np
+    import struct
+
+    from crocodile_spark.operators.multimodal import media_content_stats
+
+    w, h, bpp = 3, 4, 24  # row = 9 data bytes + 3 pad bytes
+    rng = np.random.RandomState(5)
+    pixels = rng.randint(0, 256, size=(h, w * 3), dtype=np.uint8)
+    rows = b"".join(pixels[r].tobytes() + b"\xff\xff\xff" for r in range(h))
+    payload = (
+        b"BM" + struct.pack("<I", 54 + len(rows)) + b"\x00" * 4
+        + struct.pack("<I", 54) + struct.pack("<I", 40)
+        + struct.pack("<ii", w, h) + struct.pack("<HH", 1, bpp)
+        + b"\x00" * 24 + rows
+    )
+    means, stds = media_content_stats(payload)
+    flat = pixels.reshape(-1, 3).astype(np.float64)
+    exp_means = [float(x) / 255.0 for x in flat.mean(axis=0)]
+    exp_stds = [float(x) / 255.0 for x in flat.std(axis=0)]
+    assert means == pytest.approx(exp_means, abs=1e-12)
+    assert stds == pytest.approx(exp_stds, abs=1e-12)
+    # the 0xff pad bytes would have dragged every mean toward 1.0
+    raw = np.frombuffer(payload[54:], dtype=np.uint8).astype(np.float64)
+    raw_means = raw[: (len(raw) // 3) * 3].reshape(-1, 3).mean(axis=0) / 255.0
+    assert means != pytest.approx(list(raw_means), abs=1e-9)
+
+
+def test_wav_pcm_stats_match_numpy_reference():
+    """The WAV stats law equals a direct numpy int16 decode."""
+    import numpy as np
+
+    from crocodile_spark.operators.multimodal import (
+        encode_wav,
+        media_content_stats,
+    )
+
+    rng = np.random.RandomState(9)
+    samples = rng.randint(-32768, 32768, size=501, dtype=np.int16)  # odd count
+    payload = encode_wav(2, 8000, samples.tobytes())
+    means, stds = media_content_stats(payload)
+    keep = samples[:500].reshape(-1, 2).astype(np.float64)
+    assert means == pytest.approx(list(keep.mean(axis=0) / 32768.0), abs=1e-12)
+    assert stds == pytest.approx(list(keep.std(axis=0) / 32768.0), abs=1e-12)
