@@ -90,7 +90,45 @@ def main() -> None:
     timings["_er_pairs_per_sec"] = round(n_pairs / er_wall, 1) if er_wall > 0 else 0.0
     timings["_er_records_per_sec"] = round(n_records / er_wall, 1) if er_wall > 0 else 0.0
 
-    total = round(sum(v for k, v in timings.items() if not k.startswith("_")), 3)
+    # r4 regression gate (VERDICT r3 #8): compare per-query times against
+    # the newest prior BENCH_r*.json and surface >2x slowdowns loudly --
+    # in-round, not at judging. The delta table goes to stderr (stdout
+    # stays the one-JSON-line driver contract); offenders also ride along
+    # under the informational "_regressions" key.
+    prev_file, prev_q = None, {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json"))
+    if cands:
+        prev_file = cands[-1]
+        try:
+            with open(os.path.join(here, prev_file)) as fh:
+                prev_q = json.load(fh).get("parsed", {}).get("queries", {})
+        except Exception:
+            prev_q = {}
+    regressions = {}
+    if prev_q:
+        print(f"-- per-query delta vs {prev_file} --", file=sys.stderr)
+        for name, cur in timings.items():
+            if name.startswith("_") or name not in prev_q:
+                continue
+            old = prev_q[name]
+            ratio = cur / old if old else float("inf")
+            flag = ""
+            # the documented same-day VM noise band is ~2x on sub-second
+            # fixed-overhead queries; flag real regressions only
+            if ratio > 2.0 and cur - old > 1.0:
+                flag = "  <<< REGRESSION"
+                regressions[name] = {"prev": old, "cur": cur, "ratio": round(ratio, 2)}
+            print(f"  {name:28s} {old:7.2f} -> {cur:7.2f}  ({ratio:4.2f}x){flag}",
+                  file=sys.stderr)
+    if regressions:
+        timings["_regressions"] = regressions
+
+    total = round(
+        sum(v for k, v in timings.items()
+            if not k.startswith("_") and isinstance(v, (int, float))),
+        3,
+    )
     print(
         json.dumps(
             {
