@@ -66,6 +66,12 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    # optional driver-artifact-shaped JSON record (CHECK_ORACLES_JSON=path)
+    import json
+    import os
+
+    json_out = os.environ.get("CHECK_ORACLES_JSON")
+    records: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,11 +82,16 @@ def main():
         except Exception as ex:
             failures.append((name, f"SPARK ERROR {type(ex).__name__}: {str(ex)[:200]}"))
             print(f"FAIL  {name}: spark error {str(ex)[:200]}")
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"spark: {str(ex)[:200]}"}
             continue
         if name not in oracles:
             print(f"weak  {name}: rows-only check, {len(srows)} rows")
             if len(srows) == 0 and name not in ("dedup_exact",):
                 failures.append((name, "0 rows in rows-only check"))
+            records[name] = {"rows_only": True, "spark_rows": len(srows), "err": None}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -89,6 +100,10 @@ def main():
         except Exception as ex:
             failures.append((name, f"DUCKDB ERROR: {str(ex)[:200]}"))
             print(f"FAIL  {name}: duckdb error {str(ex)[:200]}")
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": None,
+                             "err": f"duckdb: {str(ex)[:200]}"}
             continue
         problems = []
         if sorted(scols) != sorted(dcols):
@@ -113,6 +128,24 @@ def main():
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"ok    {name}: {len(srows)} rows match")
+        records[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems) if problems else None,
+        }
+
+    if json_out:
+        records["_meta"] = {
+            "generated_by": "scripts/check_oracles.py",
+            "sf_dir": sf_dir,
+            "queries": len([k for k in records if k != "_meta"]),
+            "all_pass": not failures,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=1)
 
     print()
     if failures:
