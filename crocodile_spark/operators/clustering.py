@@ -72,10 +72,16 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
+def _cc_loop(
+    edges: DataFrame, max_iterations: int, pre_canonical: bool = False
+) -> DataFrame:
     """The raw alternating-star loop: edges(u, v) -> (node, cluster_id)
-    with cluster_id = min member under the node type's natural order."""
-    e = _canon(edges).localCheckpoint(eager=True)
+    with cluster_id = min member under the node type's natural order.
+    ``pre_canonical``: the input is already oriented/distinct/checkpointed."""
+    if pre_canonical:
+        e = edges
+    else:
+        e = _canon(edges).localCheckpoint(eager=True)
     prev = _checksum(e)
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
@@ -106,6 +112,12 @@ def encode_node_dictionary(edges: DataFrame) -> DataFrame:
     return nodes.withColumn("nid", F.monotonically_increasing_id())
 
 
+# Below this edge count the ~5 extra encode/decode shuffles cost more than
+# long-key star rounds save; the probe is free because the canonical edge
+# set's checksum (needed for the fixed-point check anyway) carries the count.
+CC_ENCODE_MIN_EDGES = 100_000
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 20, encode_ids: bool | None = None
 ) -> DataFrame:
@@ -113,18 +125,24 @@ def connected_components(
     member of the component. Nodes appearing in no edge are absent (the
     caller unions singletons).
 
-    ``encode_ids`` (default: auto -- on for string node ids): run the
-    star loop over dictionary-encoded longs and decode afterwards; the
-    returned cluster_id is the min member in the ORIGINAL id space either
-    way, so callers and oracles see identical output."""
+    ``encode_ids`` (default: auto -- on for string node ids once the
+    canonical edge set reaches CC_ENCODE_MIN_EDGES): run the star loop
+    over dictionary-encoded longs and decode afterwards; the returned
+    cluster_id is the min member in the ORIGINAL id space either way, so
+    callers and oracles see identical output at any threshold."""
+    e = _canon(edges).localCheckpoint(eager=True)
+    n_edges, _ = _checksum(e)
     if encode_ids is None:
-        encode_ids = isinstance(edges.schema["u"].dataType, T.StringType)
+        encode_ids = (
+            isinstance(e.schema["u"].dataType, T.StringType)
+            and n_edges >= CC_ENCODE_MIN_EDGES
+        )
     if not encode_ids:
-        return _cc_loop(edges, max_iterations)
+        return _cc_loop(e, max_iterations, pre_canonical=True)
 
-    node_dict = encode_node_dictionary(edges)
+    node_dict = encode_node_dictionary(e)
     enc = (
-        edges.join(
+        e.join(
             node_dict.select(F.col("node").alias("u"), F.col("nid").alias("_eu")), "u"
         )
         .join(

@@ -58,3 +58,32 @@ def test_long_chain_converges(spark):
     got = _cc(spark, edges)
     assert set(got.values()) == {"n000"}
     assert len(got) == n + 1
+
+
+def test_dictionary_encoded_cc_matches_string_cc(spark):
+    """r4: the long-encoded star loop must produce byte-identical
+    assignments to the string loop (cluster_id = min member URL), at any
+    encode threshold -- the auto mode only changes WHEN encoding kicks in,
+    never the result."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    n, comp = 600, 40
+    edges = []
+    for i in range(n):
+        a = rng.randrange(comp)
+        edges.append((f"https://site-{a}.example/p{rng.randrange(50)}",
+                      f"https://site-{a}.example/p{rng.randrange(50)}"))
+    df = spark.createDataFrame(edges, "u string, v string")
+    plain = connected_components(df, encode_ids=False)
+    enc = connected_components(df, encode_ids=True)
+    rp = sorted(map(tuple, plain.collect()))
+    re_ = sorted(map(tuple, enc.collect()))
+    assert rp == re_ and len(rp) > 0
+    # every cluster_id is the lexicographic min of its members
+    mins = (
+        enc.groupBy("cluster_id").agg(F.min("node").alias("mn")).collect()
+    )
+    assert all(r["cluster_id"] == r["mn"] or r["cluster_id"] <= r["mn"] for r in mins)
