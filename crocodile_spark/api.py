@@ -160,6 +160,7 @@ class CrocodileSpark:
         top_n_for_type_freq: int = 3,
         save_output_to_csv: str | None = None,
         return_dataframe: bool = False,
+        csv_single_file_row_bound: int = 1_000_000,
         spark: SparkSession | None = None,
     ):
         """``input_csv``: a CSV path, a pandas DataFrame, or a Spark
@@ -180,6 +181,7 @@ class CrocodileSpark:
         self.correct_qids = correct_qids or {}
         self.save_output_to_csv = save_output_to_csv
         self.return_dataframe = return_dataframe
+        self.csv_single_file_row_bound = csv_single_file_row_bound
         self.cfg = PipelineConfig(
             max_candidates_in_result=max_candidates_in_result,
             candidate_retrieval_limit=candidate_retrieval_limit,
@@ -362,5 +364,37 @@ class CrocodileSpark:
         if self.save_output_to_csv:
             from crocodile_spark.sources.tabular import export_csv
 
-            export_csv(out, self.save_output_to_csv, single_file=True)
+            # persist so the guard count, the write, and a pandas return
+            # all read one materialization instead of re-running the whole
+            # onboard->EL->rerank->pivot lineage per consumer
+            out = out.persist()
+            n = out.count()
+            if n <= self.csv_single_file_row_bound:
+                # reference parity: one growing CSV file (crocodile.py:448)
+                export_csv(
+                    out,
+                    self.save_output_to_csv,
+                    single_file=True,
+                    single_file_row_bound=self.csv_single_file_row_bound,
+                    row_count=n,
+                )
+            else:
+                # a table this size has no business in one task's file:
+                # fall back to a distributed multi-part write (readable by
+                # spark.read.csv(dir)) instead of failing the run
+                import warnings
+
+                warnings.warn(
+                    f"save_output_to_csv: {n} rows exceeds "
+                    f"csv_single_file_row_bound={self.csv_single_file_row_bound}; "
+                    "writing a distributed multi-part CSV directory instead "
+                    "of a single file",
+                    stacklevel=2,
+                )
+                export_csv(out, self.save_output_to_csv, single_file=False)
+            if self.return_dataframe:
+                pdf = out.toPandas()
+                out.unpersist()
+                return pdf
+            return out
         return out.toPandas() if self.return_dataframe else out

@@ -284,8 +284,17 @@ def _plan_probe(df: DataFrame) -> tuple[bool, int]:
     handle (`_jdf`), which is not public API: any drift raises and the
     caller falls back to returning the frame untouched."""
     plan = df._jdf.queryExecution().optimizedPlan()
-    found = False
     stack = [plan]
+    try:
+        # scalar subqueries survive optimization as EXPRESSIONS (IN/EXISTS
+        # are rewritten to joins), so a shuffle can hide outside children();
+        # subqueriesAll() exposes every subquery plan in the tree
+        sq = plan.subqueriesAll()
+        for i in range(sq.size()):
+            stack.append(sq.apply(i))
+    except Exception:
+        pass  # older API: children-only walk still covers rewritten plans
+    found = False
     while stack and not found:
         node = stack.pop()
         name = node.nodeName()

@@ -73,16 +73,22 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def _cc_loop(
-    edges: DataFrame, max_iterations: int, pre_canonical: bool = False
+    edges: DataFrame,
+    max_iterations: int,
+    pre_canonical: bool = False,
+    prev: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The raw alternating-star loop: edges(u, v) -> (node, cluster_id)
     with cluster_id = min member under the node type's natural order.
-    ``pre_canonical``: the input is already oriented/distinct/checkpointed."""
+    ``pre_canonical``: the input is already oriented/distinct/checkpointed;
+    ``prev``: its (count, checksum) if the caller already computed it, so
+    the fixed-point scan is not re-run on the identical frame."""
     if pre_canonical:
         e = edges
     else:
         e = _canon(edges).localCheckpoint(eager=True)
-    prev = _checksum(e)
+    if prev is None:
+        prev = _checksum(e)
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _checksum(e)
@@ -131,14 +137,16 @@ def connected_components(
     cluster_id is the min member in the ORIGINAL id space either way, so
     callers and oracles see identical output at any threshold."""
     e = _canon(edges).localCheckpoint(eager=True)
-    n_edges, _ = _checksum(e)
+    chk = _checksum(e)
     if encode_ids is None:
         encode_ids = (
             isinstance(e.schema["u"].dataType, T.StringType)
-            and n_edges >= CC_ENCODE_MIN_EDGES
+            and chk[0] >= CC_ENCODE_MIN_EDGES
         )
     if not encode_ids:
-        return _cc_loop(e, max_iterations, pre_canonical=True)
+        # pass the checksum through: the probe scan doubles as the loop's
+        # initial fixed-point state
+        return _cc_loop(e, max_iterations, pre_canonical=True, prev=chk)
 
     node_dict = encode_node_dictionary(e)
     enc = (

@@ -235,9 +235,19 @@ def generate_candidates(
         )
     )
     kb_tok = kb_token_index(kbn, kb.columns)
-    chosen = select_fuzzy_tokens(sparse, kb_token_df(kb_tok), cfg)
+    tok_df = kb_token_df(kb_tok)
+    chosen = select_fuzzy_tokens(sparse, tok_df, cfg)
+    # chosen can never contain a token hotter than the fallback cap, so
+    # pre-filtering the KB side with the SAME df table is output-identical
+    # and keeps ultra-hot (KB row, token) pairs -- 'de' naming millions of
+    # entries at a 100x KB -- out of the shuffle entirely
+    kb_tok_capped = kb_tok.join(
+        tok_df.where(F.col("df") <= cfg.fuzzy_fallback_df_cap).select("token"),
+        "token",
+        "inner",
+    )
     fuzzy = (
-        chosen.join(kb_tok, "token", "inner")
+        chosen.join(kb_tok_capped, "token", "inner")
         .select("mention_norm", *kb.columns)
         .distinct()
     )

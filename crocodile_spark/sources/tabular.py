@@ -136,6 +136,7 @@ def export_csv(
     path: str,
     single_file: bool = False,
     single_file_row_bound: int = 1_000_000,
+    row_count: int | None = None,
 ) -> None:
     """S8: CSV sink with header; ``single_file`` mirrors the reference's
     one-growing-file behavior (one task writes everything -- only for
@@ -144,9 +145,11 @@ def export_csv(
     Scale guard (r4): ``single_file=True`` counts the frame first and
     raises when it exceeds ``single_file_row_bound`` rather than silently
     serializing a 100x table through one task; callers that genuinely want
-    a giant single file raise the bound explicitly."""
+    a giant single file raise the bound explicitly. Callers that already
+    know the row count pass ``row_count`` so the guard does not re-execute
+    the upstream plan."""
     if single_file:
-        n = df.count()
+        n = row_count if row_count is not None else df.count()
         if n > single_file_row_bound:
             raise ValueError(
                 f"export_csv(single_file=True): {n} rows exceeds the "

@@ -361,3 +361,28 @@ def test_sequential_row_id_guard_fails_loudly_on_missing_offset(spark):
             api_mod.sequential_row_id(df).collect()
     finally:
         api_mod.F.create_map = orig
+
+
+def test_facade_csv_export_falls_back_to_distributed_over_bound(
+    spark, table_and_kb, tmp_path
+):
+    """Review fix r4: a table over csv_single_file_row_bound must not
+    crash run() -- it falls back to a distributed multi-part CSV write
+    with a warning, and the data stays complete."""
+    import warnings
+
+    pdf, kb, _, _ = table_and_kb
+    dest = str(tmp_path / "big_csv")
+    croco = CrocodileSpark(
+        input_csv=pdf, kb=kb, spark=spark,
+        columns_type={"NE": {"0": "OTHER"}, "LIT": {"1": "NUMBER"}, "IGNORED": ["2"]},
+        save_output_to_csv=dest,
+        csv_single_file_row_bound=5,  # force the fallback (table has 12 rows)
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = croco.run()
+        assert any("multi-part" in str(x.message) for x in w)
+    assert out.count() == len(pdf)
+    got = spark.read.option("header", "true").csv(dest)
+    assert got.count() == len(pdf)

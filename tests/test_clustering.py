@@ -86,4 +86,4 @@ def test_dictionary_encoded_cc_matches_string_cc(spark):
     mins = (
         enc.groupBy("cluster_id").agg(F.min("node").alias("mn")).collect()
     )
-    assert all(r["cluster_id"] == r["mn"] or r["cluster_id"] <= r["mn"] for r in mins)
+    assert all(r["cluster_id"] == r["mn"] for r in mins)
