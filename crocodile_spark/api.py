@@ -366,7 +366,11 @@ class CrocodileSpark:
 
             # persist so the guard count, the write, and a pandas return
             # all read one materialization instead of re-running the whole
-            # onboard->EL->rerank->pivot lineage per consumer
+            # onboard->EL->rerank->pivot lineage per consumer. (CSV export
+            # is the reference-parity convenience path -- a truly huge
+            # output belongs in the lakehouse parquet stages, where
+            # checkpointing replaces this cache; the persist here trades
+            # executor storage for not recomputing the EL pipeline.)
             out = out.persist()
             n = out.count()
             if n <= self.csv_single_file_row_bound:
