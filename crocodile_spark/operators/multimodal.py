@@ -8,11 +8,13 @@ dimensions + channel count are decoded from the payload bytes
 parsed by a real RIFF chunk walk (JUNK/LIST chunks before 'fmt ' are
 handled, ADVICE r3). Since r4 the per-item features are REAL for the
 formats whose samples are decodable without a codec library: BMP pixel
-buffers (uncompressed 8/24/32 bpp) and WAV PCM s16le samples yield
-per-channel mean/std (struct+numpy only), value-checked against a DuckDB
-oracle that re-derives the same statistics via hex/byte arithmetic.
-PNG/GIF pixel data is zlib/LZW-compressed -- decoding it needs a codec
-this container doesn't ship -- so those keep the documented sha-derived
+buffers (uncompressed 8/24/32 bpp), WAV PCM s16le samples, AND PNG
+pixels -- inflated with stdlib zlib and unfiltered per the PNG spec
+(decode_png_pixels; bit depth 8, non-interlaced, non-palette). The
+BMP/WAV statistics are value-checked against a DuckDB oracle that
+re-derives them via hex/byte arithmetic; PNG stats cannot be replayed in
+SQL (no zlib there) and are pytest-verified against a numpy reference.
+Only GIF (LZW) and unknown formats keep the documented sha-derived
 placeholder feature.
 """
 
@@ -78,6 +80,85 @@ def parse_wav(b: bytes) -> tuple:
     return channels, data_off, data_size
 
 
+def walk_png_chunks(b: bytes):
+    """Yield (chunk_type, data) for each PNG chunk after the 8-byte
+    signature (public layout: u32 BE length, 4-byte type, data, u32 CRC).
+    Truncated chunks are clamped."""
+    off = 8
+    while off + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[off : off + 4])
+        ctype = b[off + 4 : off + 8]
+        data_off = off + 8
+        length = min(length, max(0, len(b) - data_off))
+        yield ctype, b[data_off : data_off + length]
+        off = data_off + length + 4  # skip CRC
+
+
+def decode_png_pixels(b: bytes):
+    """REAL PNG pixel decode, dependency-free: concatenate IDAT chunks,
+    zlib-inflate (stdlib), undo the per-row filter (types 0-4: None, Sub,
+    Up, Average, Paeth -- the PNG spec's arithmetic), return an
+    (h, w*channels) uint8 array. Supports the common shape: bit depth 8,
+    non-interlaced, color types 0/2/4/6 (palette type 3 would need PLTE
+    indirection). Anything else -- or malformed/truncated zlib data, like
+    the synthetic junk-body fixtures -- returns None."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG or len(b) < 34:
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = b[24:29]
+    nch = _PNG_CHANNELS.get(color_type)
+    if bit_depth != 8 or interlace != 0 or nch is None or color_type == 3:
+        return None
+    if w <= 0 or h <= 0 or w * h * nch > 64 * 1024 * 1024:
+        return None
+    idat = b"".join(data for ctype, data in walk_png_chunks(b) if ctype == b"IDAT")
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (1 + stride):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, offset=pos + 1, count=stride).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                bb = prev[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + bb) // 2
+                else:
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
 def parse_bmp(b: bytes) -> tuple:
     """(width, height, bpp, compression, pixel_data_offset) from the BMP
     file header + BITMAPINFOHEADER (public layout: data offset LE u32 at
@@ -133,8 +214,12 @@ def content_feature(b, dim: int = 8) -> list[float]:
 
 def media_content_stats(b) -> tuple:
     """(ch_mean, ch_std) REAL per-channel content statistics, decoded
-    dependency-free (struct + numpy):
+    dependency-free (struct + numpy + stdlib zlib):
 
+      PNG (bit depth 8, non-interlaced, non-palette) -- IDAT chunks
+        inflated with zlib, per-row filters undone (decode_png_pixels),
+        per-channel mean/std over the real pixels /255. Junk-body or
+        unsupported-shape PNGs fall back to (None, None).
       BMP (uncompressed, 8/24/32 bpp) -- the pixel buffer at the header's
         data offset as interleaved unsigned channel bytes, normalized /255.
         When the buffer holds the full pixel array (rowsize*height), rows
@@ -154,6 +239,17 @@ def media_content_stats(b) -> tuple:
     if b is None:
         return (None, None)
     b = bytes(b)
+    if b[:8] == _PNG_SIG:
+        px = decode_png_pixels(b)
+        if px is None:
+            return (None, None)  # compressed-but-undecodable or unsupported shape
+        h, stride = px.shape
+        nch = _PNG_CHANNELS.get(b[25], 1)
+        chans = px.reshape(-1, nch).astype(np.float64)
+        return (
+            [float(x) / 255.0 for x in chans.mean(axis=0)],
+            [float(x) / 255.0 for x in chans.std(axis=0)],
+        )
     if b[:2] == b"BM" and len(b) >= 34:
         w, h, bpp, comp, data_off = parse_bmp(b)
         if comp != 0 or bpp not in (8, 24, 32) or data_off >= len(b):
@@ -267,6 +363,48 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 # -- deterministic synthetic payload builders (valid container headers) ----
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_pixels(pixels, color_type: int = 2) -> bytes:
+    """A fully VALID PNG (real CRCs, real zlib IDAT) carrying the given
+    (h, w*channels) uint8 pixel array; rows alternate filter 0 (None) and
+    filter 2 (Up) so the decoder's unfiltering is exercised."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, stride = px.shape
+    nch = _PNG_CHANNELS[color_type]
+    w = stride // nch
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    raw = bytearray()
+    for y in range(h):
+        if y % 2 == 0 or y == 0:
+            raw.append(0)
+            raw.extend(px[y].tobytes())
+        else:
+            raw.append(2)
+            diff = (px[y].astype(np.int32) - px[y - 1].astype(np.int32)) & 0xFF
+            raw.extend(diff.astype(np.uint8).tobytes())
+    idat = zlib.compress(bytes(raw))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png(w: int, h: int, color_type: int, body: bytes) -> bytes:
     return (
         _PNG_SIG
@@ -338,7 +476,19 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             fmt = rng.choice(["png", "gif", "bmp"])
             if fmt == "png":
-                payload = encode_png(w, h, rng.choice([0, 2, 6]), junk)
+                ct = rng.choice([0, 2, 6])
+                if i % 2 == 0:
+                    # REAL decodable PNG: small dims, seeded pixels, valid
+                    # zlib IDAT -- exercises the full decode path
+                    w = rng.randrange(4, 24)
+                    h = rng.randrange(4, 24)
+                    nch = _PNG_CHANNELS[ct]
+                    px = [[rng.randrange(256) for _ in range(w * nch)]
+                          for _ in range(h)]
+                    payload = encode_png_pixels(px, color_type=ct)
+                else:
+                    # junk IDAT body: exercises the undecodable fallback
+                    payload = encode_png(w, h, ct, junk)
                 mime = "image/png"
             elif fmt == "gif":
                 payload = encode_gif(w, h, junk)

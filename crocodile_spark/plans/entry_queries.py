@@ -1521,9 +1521,14 @@ def q_multimodal_features(spark, sf_dir):
     feats = extract_media_features(
         spark.read.parquet(f"{_MEDIA_ORACLE_DIR}/media.parquet")
     )
-    # r4: ch_mean/ch_std are REAL per-channel content statistics for
-    # BMP/WAV (decoded pixel/PCM buffers), value-checked below via DuckDB
-    # byte arithmetic; null for compressed (PNG/GIF) and unknown formats
+    # r4: ch_mean/ch_std are REAL per-channel content statistics --
+    # BMP pixel buffers / WAV PCM samples, and (late-r4) PNG pixels via
+    # stdlib zlib inflate + unfiltering. The DuckDB oracle value-checks
+    # the BMP/WAV stats via byte arithmetic; zlib inflate is NOT
+    # expressible in SQL, so the PNG stats are scoped out of the gate
+    # columns here and verified instead by pytest against a numpy
+    # reference (test_simsearch_text_multimodal).
+    gate_scope = F.col("format").isin("bmp", "wav")
     return feats.select(
         "media_id",
         "kind",
@@ -1532,8 +1537,12 @@ def q_multimodal_features(spark, sf_dir):
         "width",
         "height",
         "channels",
-        F.transform("ch_mean", lambda x: F.round(x, 6)).alias("ch_mean"),
-        F.transform("ch_std", lambda x: F.round(x, 6)).alias("ch_std"),
+        F.when(
+            gate_scope, F.transform("ch_mean", lambda x: F.round(x, 6))
+        ).alias("ch_mean"),
+        F.when(
+            gate_scope, F.transform("ch_std", lambda x: F.round(x, 6))
+        ).alias("ch_std"),
     )
 
 

@@ -103,15 +103,26 @@ def test_multimodal_plumbing(spark):
     # r4: BMP/WAV features are real content stats (WAV means are SIGNED,
     # in [-1,1]); sha-placeholder formats stay in [0,1]
     assert all(-1.0 <= v <= 1.0 for r in rows for v in r["feat"])
+    n_png_real = 0
     for r in rows:
-        if r["format"] in (None, "png", "gif"):
+        if r["format"] in (None, "gif"):
             assert all(0.0 <= v <= 1.0 for v in r["feat"])
             assert r["ch_mean"] is None and r["ch_std"] is None
-        else:  # bmp/wav: real stats present and embedded in feat
+        elif r["format"] == "png":
+            # real-pixel PNGs decode (zlib IDAT); junk-body ones fall back
+            if r["ch_mean"] is not None:
+                n_png_real += 1
+                k = len(r["ch_mean"])
+                assert r["feat"][:k] == r["ch_mean"]
+            else:
+                assert all(0.0 <= v <= 1.0 for v in r["feat"])
+        else:  # bmp/wav: real stats always present and embedded in feat
             assert r["ch_mean"] is not None and r["ch_std"] is not None
             k = len(r["ch_mean"])
             assert r["feat"][:k] == r["ch_mean"]
             assert r["feat"][4 : 4 + k] == r["ch_std"]
+    if any(r["format"] == "png" for r in rows):
+        assert n_png_real > 0, "fixture must contain decodable real-pixel PNGs"
     # determinism: same payload -> same feature
     again = {r["media_id"]: r["feat"] for r in extract_media_features(media).collect()}
     assert all(again[r["media_id"]] == r["feat"] for r in rows)
@@ -306,3 +317,78 @@ def test_wav_pcm_stats_match_numpy_reference():
     keep = samples[:500].reshape(-1, 2).astype(np.float64)
     assert means == pytest.approx(list(keep.mean(axis=0) / 32768.0), abs=1e-12)
     assert stds == pytest.approx(list(keep.std(axis=0) / 32768.0), abs=1e-12)
+
+
+def test_png_pixel_decode_matches_numpy_reference():
+    """late-r4: real PNG decode (stdlib zlib + unfiltering). The encoder
+    emits filter 0/2 rows; a hand-built IDAT exercises Sub/Average/Paeth
+    too. Stats must equal a direct numpy computation on the source
+    pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from crocodile_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png_pixels,
+        encode_png_pixels,
+        media_content_stats,
+    )
+
+    rng = np.random.RandomState(21)
+    # RGB roundtrip through the encoder (filters 0 and 2)
+    px = rng.randint(0, 256, size=(13, 7 * 3), dtype=np.uint8)
+    payload = encode_png_pixels(px, color_type=2)
+    got = decode_png_pixels(payload)
+    assert np.array_equal(got, px)
+    means, stds = media_content_stats(payload)
+    flat = px.reshape(-1, 3).astype(np.float64)
+    assert means == pytest.approx(list(flat.mean(axis=0) / 255.0), abs=1e-12)
+    assert stds == pytest.approx(list(flat.std(axis=0) / 255.0), abs=1e-12)
+
+    # hand-built grayscale PNG with one row per filter type 0,1,2,3,4
+    w, h = 6, 5
+    src = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = src[y].astype(np.int32)
+        prev = src[y - 1].astype(np.int32) if y > 0 else np.zeros(w, np.int32)
+        enc = np.zeros(w, np.int32)
+        for x in range(w):
+            a = row[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (row[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(enc.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
+    payload2 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got2 = decode_png_pixels(payload2)
+    assert np.array_equal(got2, src)
+
+    # junk-IDAT fallback: undecodable -> no stats, placeholder feature
+    from crocodile_spark.operators.multimodal import encode_png, media_feature
+
+    junk = encode_png(32, 32, 2, b"\x01\x02\x03not-zlib")
+    assert decode_png_pixels(junk) is None
+    assert media_content_stats(junk) == (None, None)
+    assert all(0.0 <= v <= 1.0 for v in media_feature(junk))
