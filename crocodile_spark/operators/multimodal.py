@@ -6,16 +6,18 @@ The codec is a REAL, dependency-free container parser: PNG / GIF / BMP
 dimensions + channel count are decoded from the payload bytes
 (struct.unpack over the formats' public container layouts) and WAV is
 parsed by a real RIFF chunk walk (JUNK/LIST chunks before 'fmt ' are
-handled, ADVICE r3). Since r4 the per-item features are REAL for the
-formats whose samples are decodable without a codec library: BMP pixel
-buffers (uncompressed 8/24/32 bpp), WAV PCM s16le samples, AND PNG
-pixels -- inflated with stdlib zlib and unfiltered per the PNG spec
-(decode_png_pixels; bit depth 8, non-interlaced, non-palette). The
-BMP/WAV statistics are value-checked against a DuckDB oracle that
-re-derives them via hex/byte arithmetic; PNG stats cannot be replayed in
-SQL (no zlib there) and are pytest-verified against a numpy reference.
-Only GIF (LZW) and unknown formats keep the documented sha-derived
-placeholder feature.
+handled, ADVICE r3). Since r4 the per-item features are REAL for every
+image/audio format the operator recognizes -- no codec library needed:
+BMP pixel buffers (uncompressed 8/24/32 bpp), WAV PCM s16le samples,
+PNG pixels (stdlib zlib inflate + per-row unfiltering,
+decode_png_pixels; bit depth 8, non-interlaced, non-palette), and GIF
+first frames (pure-Python LZW + palette expansion, decode_gif_pixels;
+global/local palettes, non-interlaced full frames). The BMP/WAV
+statistics are value-checked against a DuckDB oracle that re-derives
+them via hex/byte arithmetic; PNG/GIF stats cannot be replayed in SQL
+(no zlib/LZW there) and are pytest-verified against numpy references.
+Only unrecognized payloads (e.g. the synthetic opaque "video" rows) keep
+the documented sha-derived placeholder feature.
 """
 
 from __future__ import annotations
@@ -159,6 +161,128 @@ def decode_png_pixels(b: bytes):
     return out
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int):
+    """Standard GIF LZW decode (LSB-first variable-width codes, CLEAR/END
+    control codes, 12-bit dictionary cap). Returns the index stream or
+    None on a malformed stream. Pure Python -- the whole stream is read
+    as one little-endian integer, fine for the frame sizes this operator
+    decodes."""
+    if not 2 <= min_code_size <= 11 or not data:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    big = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    pos = 0
+    nbits = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    prev = None
+    out = bytearray()
+    while pos + nbits <= total_bits:
+        code = (big >> pos) & ((1 << nbits) - 1)
+        pos += nbits
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            nbits = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            return None
+        if next_code == (1 << nbits) and nbits < 12:
+            nbits += 1
+        out.extend(entry)
+        prev = entry
+    return bytes(out)  # stream without explicit END: accept what decoded
+
+
+def decode_gif_pixels(b: bytes):
+    """REAL GIF decode, dependency-free: global color table + first image
+    frame's LZW index stream -> (h, w*3) uint8 RGB array. Supports the
+    common shape (global palette, non-interlaced, full-frame first image);
+    local palettes are honored, interlaced/partial frames and malformed
+    streams return None."""
+    import numpy as np
+
+    if b[:4] != b"GIF8" or len(b) < 13:
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        need = 3 * n_colors
+        if off + need > len(b):
+            return None
+        gct = np.frombuffer(b, np.uint8, offset=off, count=need).reshape(-1, 3)
+        off += need
+    while off < len(b):
+        marker = b[off]
+        off += 1
+        if marker == 0x3B:  # trailer
+            return None
+        if marker == 0x21:  # extension: label + sub-blocks
+            off += 1
+            while off < len(b) and b[off] != 0:
+                off += 1 + b[off]
+            off += 1
+            continue
+        if marker != 0x2C:
+            return None
+        if off + 9 > len(b):
+            return None
+        left, top, iw, ih = struct.unpack("<HHHH", b[off : off + 8])
+        ipacked = b[off + 8]
+        off += 9
+        palette = gct
+        if ipacked & 0x80:  # local color table
+            n_colors = 2 << (ipacked & 0x07)
+            need = 3 * n_colors
+            if off + need > len(b):
+                return None
+            palette = np.frombuffer(b, np.uint8, offset=off, count=need).reshape(-1, 3)
+            off += need
+        if palette is None or ipacked & 0x40:  # no palette / interlaced
+            return None
+        if (left, top, iw, ih) != (0, 0, w, h) or w <= 0 or h <= 0:
+            return None  # partial first frame: out of the supported shape
+        if off >= len(b):
+            return None
+        min_code_size = b[off]
+        off += 1
+        data = bytearray()
+        while off < len(b) and b[off] != 0:
+            n = b[off]
+            data.extend(b[off + 1 : off + 1 + n])
+            off += 1 + n
+        idx = _gif_lzw_decode(bytes(data), min_code_size)
+        if idx is None or len(idx) < w * h:
+            return None
+        arr = np.frombuffer(idx[: w * h], np.uint8)
+        if arr.max(initial=0) >= len(palette):
+            return None
+        return palette[arr].reshape(h, w * 3)
+    return None
+
+
 def parse_bmp(b: bytes) -> tuple:
     """(width, height, bpp, compression, pixel_data_offset) from the BMP
     file header + BITMAPINFOHEADER (public layout: data offset LE u32 at
@@ -246,6 +370,15 @@ def media_content_stats(b) -> tuple:
         h, stride = px.shape
         nch = _PNG_CHANNELS.get(b[25], 1)
         chans = px.reshape(-1, nch).astype(np.float64)
+        return (
+            [float(x) / 255.0 for x in chans.mean(axis=0)],
+            [float(x) / 255.0 for x in chans.std(axis=0)],
+        )
+    if b[:4] == b"GIF8":
+        px = decode_gif_pixels(b)
+        if px is None:
+            return (None, None)
+        chans = px.reshape(-1, 3).astype(np.float64)  # palette-expanded RGB
         return (
             [float(x) / 255.0 for x in chans.mean(axis=0)],
             [float(x) / 255.0 for x in chans.std(axis=0)],
@@ -421,6 +554,47 @@ def encode_gif(w: int, h: int, body: bytes) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + bytes([0xF7, 0, 0]) + body
 
 
+def encode_gif_pixels(indices, palette) -> bytes:
+    """A fully VALID GIF89a carrying real indexed pixels: 256-entry global
+    color table, one full-frame image, and an LZW stream that emits an
+    explicit CLEAR code before every literal -- valid (if inefficient) per
+    the spec, accepted by any conformant decoder, and trivially
+    bit-packable at a fixed 9-bit width."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    pal = np.zeros((256, 3), np.uint8)
+    pal[: len(palette)] = np.asarray(palette, dtype=np.uint8)
+    min_code, clear, end, nbits = 8, 256, 257, 9
+    big, pos = 0, 0
+    for v in idx.reshape(-1):
+        big |= clear << pos
+        pos += nbits
+        big |= int(v) << pos
+        pos += nbits
+    big |= end << pos
+    pos += nbits
+    data = big.to_bytes((pos + 7) // 8, "little")
+    blocks = b"".join(
+        bytes([min(255, len(data) - i)]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0xF7, 0, 0])
+        + pal.tobytes()
+        + b"\x2C"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + b"\x00"
+        + bytes([min_code])
+        + blocks
+        + b"\x00"
+        + b"\x3B"
+    )
+
+
 def encode_bmp(w: int, h: int, bpp: int, body: bytes) -> bytes:
     # 14-byte file header + full 40-byte BITMAPINFOHEADER (r4 fix: the
     # trailing zero block is 24 bytes -- compression..clrImportant -- so
@@ -491,7 +665,17 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                     payload = encode_png(w, h, ct, junk)
                 mime = "image/png"
             elif fmt == "gif":
-                payload = encode_gif(w, h, junk)
+                if i % 2 == 0:
+                    # REAL decodable GIF: seeded indices + palette
+                    w = rng.randrange(4, 24)
+                    h = rng.randrange(4, 24)
+                    indices = [[rng.randrange(256) for _ in range(w)]
+                               for _ in range(h)]
+                    palette = [(rng.randrange(256), rng.randrange(256),
+                                rng.randrange(256)) for _ in range(256)]
+                    payload = encode_gif_pixels(indices, palette)
+                else:
+                    payload = encode_gif(w, h, junk)
                 mime = "image/gif"
             else:
                 payload = encode_bmp(w, h, rng.choice([8, 24, 32]), junk)

@@ -103,15 +103,15 @@ def test_multimodal_plumbing(spark):
     # r4: BMP/WAV features are real content stats (WAV means are SIGNED,
     # in [-1,1]); sha-placeholder formats stay in [0,1]
     assert all(-1.0 <= v <= 1.0 for r in rows for v in r["feat"])
-    n_png_real = 0
+    real_decodes = {"png": 0, "gif": 0}
     for r in rows:
-        if r["format"] in (None, "gif"):
+        if r["format"] is None:
             assert all(0.0 <= v <= 1.0 for v in r["feat"])
             assert r["ch_mean"] is None and r["ch_std"] is None
-        elif r["format"] == "png":
-            # real-pixel PNGs decode (zlib IDAT); junk-body ones fall back
+        elif r["format"] in ("png", "gif"):
+            # real-pixel payloads decode (zlib / LZW); junk bodies fall back
             if r["ch_mean"] is not None:
-                n_png_real += 1
+                real_decodes[r["format"]] += 1
                 k = len(r["ch_mean"])
                 assert r["feat"][:k] == r["ch_mean"]
             else:
@@ -121,8 +121,9 @@ def test_multimodal_plumbing(spark):
             k = len(r["ch_mean"])
             assert r["feat"][:k] == r["ch_mean"]
             assert r["feat"][4 : 4 + k] == r["ch_std"]
-    if any(r["format"] == "png" for r in rows):
-        assert n_png_real > 0, "fixture must contain decodable real-pixel PNGs"
+    for fmt in ("png", "gif"):
+        if any(r["format"] == fmt for r in rows):
+            assert real_decodes[fmt] > 0, f"fixture must contain decodable {fmt}s"
     # determinism: same payload -> same feature
     again = {r["media_id"]: r["feat"] for r in extract_media_features(media).collect()}
     assert all(again[r["media_id"]] == r["feat"] for r in rows)
@@ -392,3 +393,80 @@ def test_png_pixel_decode_matches_numpy_reference():
     assert decode_png_pixels(junk) is None
     assert media_content_stats(junk) == (None, None)
     assert all(0.0 <= v <= 1.0 for v in media_feature(junk))
+
+
+def test_gif_lzw_decode_matches_numpy_reference():
+    """late-r4: real GIF decode (pure-Python LZW + palette expansion).
+    Roundtrips (a) the clear-heavy fixture encoder and (b) a REAL
+    growing-dictionary LZW stream built in-test, against numpy."""
+    import struct
+
+    import numpy as np
+
+    from crocodile_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        decode_gif_pixels,
+        encode_gif,
+        encode_gif_pixels,
+        media_content_stats,
+    )
+
+    rng = np.random.RandomState(17)
+    h, w = 11, 9
+    indices = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    palette = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    payload = encode_gif_pixels(indices, palette)
+    px = decode_gif_pixels(payload)
+    expected = palette[indices.reshape(-1)].reshape(h, w * 3)
+    assert np.array_equal(px, expected)
+    means, stds = media_content_stats(payload)
+    flat = expected.reshape(-1, 3).astype(np.float64)
+    assert means == pytest.approx(list(flat.mean(axis=0) / 255.0), abs=1e-12)
+    assert stds == pytest.approx(list(flat.std(axis=0) / 255.0), abs=1e-12)
+
+    # a REAL LZW stream with dictionary growth and width increase:
+    # repetitive data forces multi-symbol dictionary entries
+    def lzw_encode(seq, min_code_size):
+        clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, nbits = end + 1, min_code_size + 1
+        codes, cur = [clear], b""
+        for s in bytes(seq):
+            nxt = cur + bytes([s])
+            if nxt in table:
+                cur = nxt
+                continue
+            codes.append(table[cur])
+            if next_code < 4096:
+                table[nxt] = next_code
+                next_code += 1
+                # encoder widens when the NEXT code to assign overflows
+                if next_code - 1 == (1 << nbits) - 1 and nbits < 12:
+                    pass
+            cur = bytes([s])
+        codes.append(table[cur])
+        codes.append(end)
+        # pack with the same width schedule the decoder uses
+        big, pos, nbits, next_code = 0, 0, min_code_size + 1, end + 1
+        table2 = {i: None for i in range(clear)}
+        prev_emitted = 0
+        for i, c in enumerate(codes):
+            big |= c << pos
+            pos += nbits
+            if c == clear:
+                nbits, next_code = min_code_size + 1, end + 1
+            elif c != end and i >= 1 and codes[i - 1] != clear:
+                next_code += 1
+                if next_code == (1 << nbits) and nbits < 12:
+                    nbits += 1
+            _ = prev_emitted
+        return big.to_bytes((pos + 7) // 8, "little")
+
+    seq = (b"ABABABABAB" * 20 + b"CDCDCDCD" * 10) * 3
+    data = lzw_encode(seq, 8)
+    out = _gif_lzw_decode(data, 8)
+    assert out == bytes(seq)
+
+    # junk body (claims a 256-color GCT it doesn't carry): clean fallback
+    assert decode_gif_pixels(encode_gif(64, 64, b"junkjunk")) is None
+    assert media_content_stats(encode_gif(64, 64, b"junkjunk")) == (None, None)
