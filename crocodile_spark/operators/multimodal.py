@@ -356,13 +356,22 @@ def media_content_stats(b) -> tuple:
         walk), channel = sample_index % channels, normalized /32768.
 
     std is the POPULATION std (numpy default ddof=0 / SQL stddev_pop).
-    Anything else (PNG/GIF compressed pixels, unknown formats, empty
-    buffers) -> (None, None)."""
+    Unknown formats, undecodable payloads, and empty buffers ->
+    (None, None). The payload is UNTRUSTED web content: any decoder
+    surprise degrades to the placeholder instead of failing the whole
+    Arrow batch (the decoders are also individually total -- the outer
+    guard is defense in depth, exercised by the fuzz test)."""
     import numpy as np
 
     if b is None:
         return (None, None)
-    b = bytes(b)
+    try:
+        return _content_stats_inner(bytes(b), np)
+    except Exception:
+        return (None, None)
+
+
+def _content_stats_inner(b: bytes, np) -> tuple:
     if b[:8] == _PNG_SIG:
         px = decode_png_pixels(b)
         if px is None:

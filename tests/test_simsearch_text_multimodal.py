@@ -470,3 +470,62 @@ def test_gif_lzw_decode_matches_numpy_reference():
     # junk body (claims a 256-color GCT it doesn't carry): clean fallback
     assert decode_gif_pixels(encode_gif(64, 64, b"junkjunk")) is None
     assert media_content_stats(encode_gif(64, 64, b"junkjunk")) == (None, None)
+
+
+def test_media_decoders_total_on_untrusted_bytes():
+    """Web payloads are untrusted: random bytes, truncations, and
+    bit-flipped valid containers must never raise -- every decoder
+    returns None/null-stats instead of failing the Arrow batch."""
+    import random
+
+    import numpy as np
+
+    from crocodile_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+        encode_bmp,
+        encode_gif_pixels,
+        encode_png_pixels,
+        encode_wav,
+        media_content_stats,
+        media_feature,
+        parse_media_header,
+    )
+
+    rng = random.Random(99)
+    nprng = np.random.RandomState(99)
+    valid = [
+        encode_png_pixels(nprng.randint(0, 256, size=(9, 7 * 3), dtype=np.uint8)),
+        encode_gif_pixels(
+            nprng.randint(0, 256, size=(8, 6), dtype=np.uint8),
+            nprng.randint(0, 256, size=(256, 3), dtype=np.uint8),
+        ),
+        encode_bmp(100, 100, 24, bytes(rng.getrandbits(8) for _ in range(200))),
+        encode_wav(2, 16000, bytes(rng.getrandbits(8) for _ in range(200))),
+    ]
+    cases = []
+    # pure random bytes, with and without magic prefixes
+    for _ in range(40):
+        body = bytes(rng.getrandbits(8) for _ in range(rng.randrange(0, 400)))
+        cases.append(body)
+        cases.append(b"\x89PNG\r\n\x1a\x08"[: rng.randrange(9)] + body)
+        cases.append(rng.choice([b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"RIFF"]) + body)
+    # truncations and single-byte corruptions of valid payloads
+    for p in valid:
+        for cut in (0, 1, 7, 12, 13, 20, len(p) // 2, len(p) - 1):
+            cases.append(p[:cut])
+        for _ in range(30):
+            i = rng.randrange(len(p))
+            cases.append(p[:i] + bytes([rng.randrange(256)]) + p[i + 1 :])
+    for payload in cases:
+        parse_media_header(payload)           # must not raise
+        m, s = media_content_stats(payload)   # must not raise
+        assert (m is None) == (s is None)
+        f = media_feature(payload)            # must not raise, stable shape
+        assert len(f) == 8
+    # the pure decoders are individually total on the same corpus
+    for payload in cases:
+        r1 = decode_png_pixels(payload) if payload[:8] == b"\x89PNG\r\n\x1a\n" else None
+        r2 = decode_gif_pixels(payload) if payload[:4] == b"GIF8" else None
+        assert r1 is None or r1.dtype == np.uint8
+        assert r2 is None or r2.dtype == np.uint8
