@@ -167,7 +167,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int):
     None on a malformed stream. Pure Python -- the whole stream is read
     as one little-endian integer, fine for the frame sizes this operator
     decodes."""
-    if not 2 <= min_code_size <= 11 or not data:
+    # literals are byte indices, so a valid GIF's min code size is <= 8
+    # (hypothesis found 9-11 overflowing the byte table)
+    if not 2 <= min_code_size <= 8 or not data:
         return None
     clear = 1 << min_code_size
     end = clear + 1
