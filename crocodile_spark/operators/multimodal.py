@@ -96,14 +96,26 @@ def walk_png_chunks(b: bytes):
         off = data_off + length + 4  # skip CRC
 
 
+# ingest-throughput guards for the PNG decoder on untrusted web bytes:
+# total pixel-samples cap, and a separate budget for rows whose filter is
+# inherently SEQUENTIAL in x (Average/Paeth) -- those run a Python loop, so
+# a crafted or merely huge photo must degrade to the placeholder instead of
+# stalling the Arrow batch. Sub rows are vectorized (per-channel cumsum).
+PNG_MAX_SAMPLES = 64 * 1024 * 1024
+PNG_MAX_SEQUENTIAL_SAMPLES = 4 * 1024 * 1024
+
+
 def decode_png_pixels(b: bytes):
     """REAL PNG pixel decode, dependency-free: concatenate IDAT chunks,
     zlib-inflate (stdlib), undo the per-row filter (types 0-4: None, Sub,
     Up, Average, Paeth -- the PNG spec's arithmetic), return an
     (h, w*channels) uint8 array. Supports the common shape: bit depth 8,
     non-interlaced, color types 0/2/4/6 (palette type 3 would need PLTE
-    indirection). Anything else -- or malformed/truncated zlib data, like
-    the synthetic junk-body fixtures -- returns None."""
+    indirection). Anything else -- malformed/truncated zlib data (like the
+    synthetic junk-body fixtures) or an image over the decode budgets --
+    returns None. None/Up rows are pure vector ops; Sub rows are a
+    per-channel uint8-overflow cumsum; Average/Paeth rows are sequential
+    by definition and draw from PNG_MAX_SEQUENTIAL_SAMPLES."""
     import zlib
 
     import numpy as np
@@ -115,75 +127,94 @@ def decode_png_pixels(b: bytes):
     nch = _PNG_CHANNELS.get(color_type)
     if bit_depth != 8 or interlace != 0 or nch is None or color_type == 3:
         return None
-    if w <= 0 or h <= 0 or w * h * nch > 64 * 1024 * 1024:
+    if w <= 0 or h <= 0 or w * h * nch > PNG_MAX_SAMPLES:
         return None
     idat = b"".join(data for ctype, data in walk_png_chunks(b) if ctype == b"IDAT")
     if not idat:
         return None
+    stride = w * nch
+    need = h * (1 + stride)
     try:
-        raw = zlib.decompress(idat)
+        # decompressobj.max_length truly bounds the inflate: a crafted
+        # decompression bomb stops at exactly the bytes the image needs
+        raw = zlib.decompressobj().decompress(idat, need)
     except zlib.error:
         return None
-    stride = w * nch
-    if len(raw) < h * (1 + stride):
+    if len(raw) < need:
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
+    seq_budget = PNG_MAX_SEQUENTIAL_SAMPLES
     pos = 0
     for y in range(h):
         ftype = raw[pos]
-        row = np.frombuffer(raw, dtype=np.uint8, offset=pos + 1, count=stride).astype(
-            np.int32
-        )
+        row = np.frombuffer(raw, dtype=np.uint8, offset=pos + 1, count=stride)
         pos += 1 + stride
-        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, np.uint8)
         if ftype == 0:  # None
-            cur = row
+            out[y] = row
         elif ftype == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            out[y] = row + prev  # uint8 wraparound IS the mod-256 law
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256, vectorized
+            for c in range(nch):
+                np.cumsum(row[c::nch], dtype=np.uint8, out=out[y, c::nch])
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            seq_budget -= stride
+            if seq_budget < 0:
+                return None
             cur = np.zeros(stride, np.int32)
+            row32 = row.astype(np.int32)
+            prev32 = prev.astype(np.int32)
             for x in range(stride):
                 a = cur[x - nch] if x >= nch else 0
-                bb = prev[x]
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                bb = prev32[x]
+                if ftype == 3:
                     pred = (a + bb) // 2
                 else:
-                    c = prev[x - nch] if x >= nch else 0
+                    c = prev32[x - nch] if x >= nch else 0
                     p = a + bb - c
                     pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                cur[x] = (row[x] + pred) & 0xFF
+                cur[x] = (row32[x] + pred) & 0xFF
+            out[y] = cur.astype(np.uint8)
         else:
             return None
-        out[y] = cur.astype(np.uint8)
     return out
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int):
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_out: int = 1 << 26):
     """Standard GIF LZW decode (LSB-first variable-width codes, CLEAR/END
     control codes, 12-bit dictionary cap). Returns the index stream or
-    None on a malformed stream. Pure Python -- the whole stream is read
-    as one little-endian integer, fine for the frame sizes this operator
-    decodes."""
+    None on a malformed stream. Pure Python with a rolling bit buffer --
+    O(stream length). ``max_out`` bounds the decoded size (the caller
+    knows w*h): LZW expands small inputs by orders of magnitude, so an
+    unbounded decode is a decompression-bomb vector on untrusted bytes."""
     # literals are byte indices, so a valid GIF's min code size is <= 8
     # (hypothesis found 9-11 overflowing the byte table)
     if not 2 <= min_code_size <= 8 or not data:
         return None
     clear = 1 << min_code_size
     end = clear + 1
-    big = int.from_bytes(data, "little")
-    total_bits = len(data) * 8
-    pos = 0
+    # rolling LSB-first bit buffer: O(n) in the stream length. (The naive
+    # int.from_bytes(whole stream) form is O(n^2) -- every code extraction
+    # shifts a megabyte-sized integer on real-world GIFs.)
+    buf = 0
+    buf_bits = 0
+    byte_iter = iter(data)
     nbits = min_code_size + 1
     table = {i: bytes([i]) for i in range(clear)}
     next_code = end + 1
     prev = None
     out = bytearray()
-    while pos + nbits <= total_bits:
-        code = (big >> pos) & ((1 << nbits) - 1)
-        pos += nbits
+    while True:
+        while buf_bits < nbits:
+            nxt = next(byte_iter, None)
+            if nxt is None:
+                return bytes(out)  # stream without explicit END
+            buf |= nxt << buf_bits
+            buf_bits += 8
+        code = buf & ((1 << nbits) - 1)
+        buf >>= nbits
+        buf_bits -= nbits
         if code == clear:
             table = {i: bytes([i]) for i in range(clear)}
             next_code = end + 1
@@ -211,8 +242,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int):
         if next_code == (1 << nbits) and nbits < 12:
             nbits += 1
         out.extend(entry)
+        if len(out) > max_out:
+            return bytes(out[:max_out])  # caller validates exact length
         prev = entry
-    return bytes(out)  # stream without explicit END: accept what decoded
 
 
 def decode_gif_pixels(b: bytes):
@@ -275,7 +307,7 @@ def decode_gif_pixels(b: bytes):
             n = b[off]
             data.extend(b[off + 1 : off + 1 + n])
             off += 1 + n
-        idx = _gif_lzw_decode(bytes(data), min_code_size)
+        idx = _gif_lzw_decode(bytes(data), min_code_size, max_out=w * h)
         if idx is None or len(idx) < w * h:
             return None
         arr = np.frombuffer(idx[: w * h], np.uint8)

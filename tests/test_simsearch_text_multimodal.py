@@ -529,3 +529,46 @@ def test_media_decoders_total_on_untrusted_bytes():
         r2 = decode_gif_pixels(payload) if payload[:4] == b"GIF8" else None
         assert r1 is None or r1.dtype == np.uint8
         assert r2 is None or r2.dtype == np.uint8
+
+
+def test_png_sequential_filter_budget_degrades_to_placeholder(monkeypatch):
+    """Average/Paeth rows decode in a Python loop; past the sequential
+    budget the image must degrade to None (placeholder feature) instead
+    of stalling the Arrow batch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from crocodile_spark.operators import multimodal as mm
+
+    w, h = 8, 4
+    src = np.random.RandomState(3).randint(0, 256, size=(h, w), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w, np.int32)
+    for y in range(h):  # all rows Paeth-filtered
+        row = src[y].astype(np.int32)
+        enc = np.zeros(w, np.int32)
+        cur = row
+        for x in range(w):
+            a = cur[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (row[x] - pred) & 0xFF
+        raw.append(4)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
+    payload = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png_pixels(payload), src)  # under budget
+    monkeypatch.setattr(mm, "PNG_MAX_SEQUENTIAL_SAMPLES", 2 * w)  # 2 rows' worth
+    assert mm.decode_png_pixels(payload) is None
+    assert mm.media_content_stats(payload) == (None, None)
