@@ -112,7 +112,10 @@ def main() -> None:
             if name.startswith("_") or name not in prev_q:
                 continue
             old = prev_q[name]
-            ratio = cur / old if old else float("inf")
+            if not isinstance(old, (int, float)) or old <= 0:
+                continue  # no comparable prior (and inf would break the
+                # strict-JSON stdout contract via json.dumps' Infinity)
+            ratio = cur / old
             flag = ""
             # the documented same-day VM noise band is ~2x on sub-second
             # fixed-overhead queries; flag real regressions only

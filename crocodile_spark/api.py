@@ -400,5 +400,11 @@ class CrocodileSpark:
                 pdf = out.toPandas()
                 out.unpersist()
                 return pdf
+            # release the cache before returning: the count and the write
+            # already consumed it, and a long-lived session calling run()
+            # repeatedly must not pin one full result set per call. The
+            # returned frame recomputes lazily if the caller re-executes it
+            # (same contract as the no-export path).
+            out.unpersist()
             return out
         return out.toPandas() if self.return_dataframe else out

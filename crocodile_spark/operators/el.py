@@ -237,12 +237,16 @@ def generate_candidates(
     kb_tok = kb_token_index(kbn, kb.columns)
     tok_df = kb_token_df(kb_tok)
     chosen = select_fuzzy_tokens(sparse, tok_df, cfg)
-    # chosen can never contain a token hotter than the fallback cap, so
+    # chosen can never contain a token hotter than BOTH caps, so
     # pre-filtering the KB side with the SAME df table is output-identical
     # and keeps ultra-hot (KB row, token) pairs -- 'de' naming millions of
-    # entries at a 100x KB -- out of the shuffle entirely
+    # entries at a 100x KB -- out of the shuffle entirely. max() of the
+    # two caps, not the fallback cap alone: a config with
+    # fuzzy_token_df_cap > fuzzy_fallback_df_cap would otherwise silently
+    # drop candidates for tokens between the caps.
+    kb_df_bound = max(cfg.fuzzy_token_df_cap, cfg.fuzzy_fallback_df_cap)
     kb_tok_capped = kb_tok.join(
-        tok_df.where(F.col("df") <= cfg.fuzzy_fallback_df_cap).select("token"),
+        tok_df.where(F.col("df") <= kb_df_bound).select("token"),
         "token",
         "inner",
     )

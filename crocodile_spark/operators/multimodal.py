@@ -103,6 +103,12 @@ def walk_png_chunks(b: bytes):
 # stalling the Arrow batch. Sub rows are vectorized (per-channel cumsum).
 PNG_MAX_SAMPLES = 64 * 1024 * 1024
 PNG_MAX_SEQUENTIAL_SAMPLES = 4 * 1024 * 1024
+# row-count cap: a 1xN tall-skinny PNG passes the sample cap yet would run
+# the per-row loop tens of millions of times on cheap filters
+PNG_MAX_ROWS = 1 << 16
+# GIF area cap (pixels): the u16 header fields allow w=h=65535, whose LZW
+# decode + palette expansion would emit gigabytes from a small payload
+GIF_MAX_PIXELS = 16 * 1024 * 1024
 
 
 def decode_png_pixels(b: bytes):
@@ -127,7 +133,7 @@ def decode_png_pixels(b: bytes):
     nch = _PNG_CHANNELS.get(color_type)
     if bit_depth != 8 or interlace != 0 or nch is None or color_type == 3:
         return None
-    if w <= 0 or h <= 0 or w * h * nch > PNG_MAX_SAMPLES:
+    if w <= 0 or h <= 0 or h > PNG_MAX_ROWS or w * h * nch > PNG_MAX_SAMPLES:
         return None
     idat = b"".join(data for ctype, data in walk_png_chunks(b) if ctype == b"IDAT")
     if not idat:
@@ -258,6 +264,8 @@ def decode_gif_pixels(b: bytes):
     if b[:4] != b"GIF8" or len(b) < 13:
         return None
     w, h = struct.unpack("<HH", b[6:10])
+    if w * h > GIF_MAX_PIXELS:
+        return None  # u16 fields allow 65535x65535: bomb guard
     packed = b[10]
     off = 13
     gct = None
@@ -360,10 +368,11 @@ def parse_media_header(b) -> tuple:
 
 def content_feature(b, dim: int = 8) -> list[float]:
     """Deterministic content-addressed placeholder embedding: ``dim``
-    floats derived from sha256(payload). Used for formats whose pixel data
-    is COMPRESSED (PNG/GIF -- a real decode needs zlib/LZW codecs beyond
-    header parsing) and for unknown payloads; BMP and WAV get REAL content
-    statistics from media_content_stats (r4)."""
+    floats derived from sha256(payload). Used ONLY when real content
+    statistics are unavailable -- unrecognized payloads, or recognized
+    containers whose samples failed to decode (junk bodies, unsupported
+    shapes, over-budget images). Every decodable PNG/GIF/BMP/WAV gets
+    REAL per-channel statistics from media_content_stats instead."""
     if b is None:
         return [0.0] * dim
     h = hashlib.sha256(bytes(b)).digest()
@@ -466,17 +475,26 @@ def _content_stats_inner(b: bytes, np) -> tuple:
     return (None, None)
 
 
-def media_feature(b, dim: int = 8) -> list[float]:
-    """The per-item feature vector: REAL per-channel mean/std for
-    decodable formats (BMP/WAV), 0.0-padded to ``dim//2`` slots each;
-    the sha-derived placeholder otherwise."""
-    means, stds = media_content_stats(b)
+def media_feature_from_stats(stats: tuple, b, dim: int = 8) -> list[float]:
+    """Feature vector from ALREADY-COMPUTED content stats (the hot
+    mapInPandas path decodes each payload exactly once): real per-channel
+    mean/std 0.0-padded to ``dim//2`` slots each, or the sha placeholder
+    when the payload did not decode."""
+    means, stds = stats
     if means is None:
         return content_feature(b, dim)
     half = dim // 2
     m = (means + [0.0] * half)[:half]
     s = (stds + [0.0] * half)[:half]
     return m + s
+
+
+def media_feature(b, dim: int = 8) -> list[float]:
+    """The per-item feature vector: REAL per-channel mean/std for every
+    decodable PNG/GIF/BMP/WAV, the sha-derived placeholder otherwise.
+    Convenience single-payload form; batch callers use
+    media_feature_from_stats to avoid decoding twice."""
+    return media_feature_from_stats(media_content_stats(b), b, dim)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -509,7 +527,11 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "width": parsed.map(lambda t: t[1]).astype("Int32"),
                     "height": parsed.map(lambda t: t[2]).astype("Int32"),
                     "channels": parsed.map(lambda t: t[3]).astype("Int32"),
-                    "feat": pdf["payload"].map(media_feature),
+                    # decode once per payload: feat derives from stats
+                    "feat": [
+                        media_feature_from_stats(t, b)
+                        for t, b in zip(stats, pdf["payload"])
+                    ],
                     "ch_mean": stats.map(lambda t: t[0]),
                     "ch_std": stats.map(lambda t: t[1]),
                 }
