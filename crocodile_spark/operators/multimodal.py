@@ -70,16 +70,22 @@ def walk_riff_chunks(b: bytes):
 
 
 def parse_wav(b: bytes) -> tuple:
-    """(channels, data_offset, data_size) via a REAL RIFF chunk walk
-    (ADVICE r3: real WAVs carry JUNK/LIST chunks before 'fmt ', so a fixed
-    offset-22 read returns garbage there). Missing fmt/data -> Nones."""
-    channels = data_off = data_size = None
+    """(channels, data_offset, data_size, fmt_tag, bits_per_sample) via a
+    REAL RIFF chunk walk (ADVICE r3: real WAVs carry JUNK/LIST chunks
+    before 'fmt ', so a fixed offset-22 read returns garbage there).
+    fmt_tag is wFormatTag at fmt offset 0; bits_per_sample is
+    wBitsPerSample at fmt offset 14 (None when the fmt chunk is shorter
+    than the canonical 16 bytes). Missing fmt/data -> Nones."""
+    channels = data_off = data_size = fmt_tag = bits = None
     for cid, off, size in walk_riff_chunks(b):
         if cid == b"fmt " and size >= 4 and channels is None:
+            (fmt_tag,) = struct.unpack("<H", b[off : off + 2])
             (channels,) = struct.unpack("<H", b[off + 2 : off + 4])
+            if size >= 16:
+                (bits,) = struct.unpack("<H", b[off + 14 : off + 16])
         elif cid == b"data" and data_off is None:
             data_off, data_size = off, size
-    return channels, data_off, data_size
+    return channels, data_off, data_size, fmt_tag, bits
 
 
 def walk_png_chunks(b: bytes):
@@ -361,7 +367,7 @@ def parse_media_header(b) -> tuple:
         w, h, bpp, _comp, _off = parse_bmp(b)
         return ("bmp", w, h, max(1, bpp // 8))
     if b[:4] == b"RIFF" and len(b) >= 24 and b[8:12] == b"WAVE":
-        ch, _off, _size = parse_wav(b)
+        ch, _off, _size, _tag, _bits = parse_wav(b)
         return ("wav", None, None, ch)
     return (None, None, None, None)
 
@@ -457,8 +463,15 @@ def _content_stats_inner(b: bytes, np) -> tuple:
             [float(x) / 255.0 for x in chans.std(axis=0)],
         )
     if b[:4] == b"RIFF" and len(b) >= 24 and b[8:12] == b"WAVE":
-        nch, data_off, data_size = parse_wav(b)
+        nch, data_off, data_size, fmt_tag, bits = parse_wav(b)
         if not nch or data_off is None or data_size < 2:
+            return (None, None)
+        # ADVICE r4: the s16le sample law below is only valid for
+        # wFormatTag==1 (PCM) at 16 bits/sample; an 8-bit, float32
+        # (tag 3), or ADPCM payload degrades to the placeholder like
+        # every other undecodable payload instead of yielding wrong
+        # "real" stats.
+        if fmt_tag != 1 or bits != 16:
             return (None, None)
         n_samp = data_size // 2
         smp = np.frombuffer(

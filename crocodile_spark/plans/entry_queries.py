@@ -1405,7 +1405,11 @@ def q_ivf_ann_cosine(spark, sf_dir):
     )
     c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
     cents = seeded_random_centroids(64, 16, 7)
-    return ivf_topk(q, c, cents, k=5, n_probe=4).select(
+    # arrow=False: the native plan-literal dots replay exactly in DuckDB
+    # (list_inner_product, same summation order); the Arrow matmul twin is
+    # the production default and is timed separately in bench.py
+    # (ivf_ann_arrow), same split as ann_lsh_cosine / ann_lsh_arrow.
+    return ivf_topk(q, c, cents, k=5, n_probe=4, arrow=False).select(
         "query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 
@@ -1613,7 +1617,10 @@ WITH m AS (
          ELSE {_hexbyte_at('45+2*j')} + 256*{_hexbyte_at('46+2*j')} END AS smp
   FROM (SELECT media_id, wav_ch, hx,
                (((n_bytes - 44) // 2) // wav_ch) * wav_ch AS nkeep
-        FROM hdr WHERE format='wav' AND wav_ch > 0 AND n_bytes >= 46) w, ser
+        FROM hdr WHERE format='wav' AND wav_ch > 0 AND n_bytes >= 46
+          -- r5 (ADVICE): s16le law only for wFormatTag=1 at 16 bits
+          AND {_hexbyte(21)} + 256*{_hexbyte(22)} = 1
+          AND {_hexbyte(35)} + 256*{_hexbyte(36)} = 16) w, ser
   WHERE j < nkeep
 ), wav_cstat AS (
   SELECT media_id, c, avg(smp)/32768.0 AS am, stddev_pop(smp)/32768.0 AS sd
