@@ -310,7 +310,11 @@ def _plan_probe(df: DataFrame) -> tuple[bool, int]:
     return found, size
 
 
-def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    downstream_heavy: bool = False,
+) -> DataFrame:
     """Width guard for per-row-heavy stages (hash signatures, HOF dot
     products, array Jaccard, Arrow UDF projections): a single-file local
     scan arrives as 1 partition and AQE coalesces small-BYTES/heavy-CPU
@@ -332,7 +336,16 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     ``spark.croco.spread.minBytes`` (default 64 KiB; unknown sizes pass)
     are left alone, and the repartition target is capped by the cluster's
     defaultParallelism so a 200-partition shuffle default cannot fan a
-    tiny scan into mostly-empty tasks."""
+    tiny scan into mostly-empty tasks.
+
+    r5 (ADVICE r4): the byte floor reasons about INPUT size, but for
+    super-linear downstream work (a crossJoin sweep: O(rows_left x
+    rows_right) cosines) a sub-64KiB single-partition scan is exactly
+    where quadratic work serializes on one core. Callers feeding such
+    plans pass ``downstream_heavy=True`` to skip the floor -- the caller,
+    not the input bytes, knows the downstream cost shape. The
+    ``spark.croco.spread.minBytes=0`` escape hatch remains for config-only
+    control."""
     sess = df.sparkSession
     if str(sess.conf.get("spark.croco.spread.enabled", "true")).lower() != "true":
         return df
@@ -343,7 +356,7 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if has_shuffle:
         return df
     min_bytes = int(sess.conf.get("spark.croco.spread.minBytes", "65536"))
-    if 0 <= size_bytes < min_bytes:
+    if not downstream_heavy and 0 <= size_bytes < min_bytes:
         return df
     target = min_partitions or min(
         int(sess.conf.get("spark.sql.shuffle.partitions")),

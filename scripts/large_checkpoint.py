@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Large-corpus checkpoint runner (BENCH.md "large-corpus checkpoint"
+rows): the FULL ER pipeline (normalize -> block -> score -> cluster) on a
+seeded web-realistic corpus, per-stage walls, cold + warm pass, pairwise
+F1, and total shuffle read/write bytes from the Spark REST status API.
+
+One JSON line on stdout (plus a human table on stderr) so rows can be
+pasted into BENCH.md with provenance.
+
+Usage: python scripts/large_checkpoint.py [n_entities] [pages] [filler_hi]
+       defaults: 13230 8 120  (~111k records, the r3/r4 comparable law)
+       r5 scale row: 63000 8 120  (~529k records)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def shuffle_totals(spark) -> tuple[int, int]:
+    """Total completed-stage shuffle read/write bytes via the REST status
+    API at THIS session's UI url (port 4040 may be taken by a concurrent
+    session). (0, 0) if the UI is unavailable."""
+    try:
+        ui = spark.sparkContext.uiWebUrl  # e.g. http://host:4041
+        base = f"{ui}/api/v1/applications"
+        apps = json.load(urllib.request.urlopen(base, timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/{app_id}/stages?status=complete", timeout=10
+            )
+        )
+        w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+        return r, w
+    except Exception:
+        return 0, 0
+
+
+def main() -> None:
+    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 13230
+    pages = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    filler_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.datagen import corpus_to_spark, make_corpus
+    from crocodile_spark.operators.blocking import block
+    from crocodile_spark.operators.clustering import cluster_records
+    from crocodile_spark.operators.normalize_stage import normalize_pages
+    from crocodile_spark.operators.scoring import score
+    from crocodile_spark.pipeline import evaluate_pairwise_f1
+    from crocodile_spark.session import get_spark
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    parts = cores * 3
+    spark = get_spark(
+        app_name=f"large-checkpoint-{n_entities}",
+        master=f"local[{cores}]",
+        shuffle_partitions=parts,
+        extra_conf={"spark.ui.enabled": "true"},  # REST shuffle metrics
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    t0 = time.time()
+    corpus = make_corpus(
+        n_entities=n_entities,
+        pages_per_entity=pages,
+        seed=42,
+        filler_range=(max(2, filler_hi // 3), filler_hi),
+    )
+    wp, kb, gold = corpus_to_spark(spark, corpus)
+    wp = wp.repartition(parts).persist()
+    n_records = wp.count()
+    datagen_s = time.time() - t0
+    cfg = PipelineConfig(shuffle_partitions=parts)
+
+    def one_pass() -> dict:
+        stage = {}
+        t0 = time.time()
+        records = normalize_pages(wp, use_html=True).persist()
+        records.write.format("noop").mode("overwrite").save()
+        stage["normalize_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        sigs, pairs = block(records, cfg)
+        sigs = sigs.persist()
+        pairs = pairs.persist()
+        pairs.write.format("noop").mode("overwrite").save()
+        stage["block_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        scored = score(pairs, sigs, cfg).persist()
+        scored.write.format("noop").mode("overwrite").save()
+        stage["score_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        clusters = cluster_records(
+            records, scored, max_iterations=cfg.max_cc_iterations
+        ).persist()
+        clusters.write.format("noop").mode("overwrite").save()
+        stage["cluster_s"] = round(time.time() - t0, 2)
+        stage["wall_s"] = round(sum(stage.values()), 2)
+        stage["_frames"] = (records, sigs, pairs, scored, clusters)
+        return stage
+
+    r0, w0 = shuffle_totals(spark)
+    cold = one_pass()
+    r1, w1 = shuffle_totals(spark)
+    n_pairs = cold["_frames"][2].count()
+    m = evaluate_pairwise_f1(cold["_frames"][4], gold, cold["_frames"][2])
+    # warm: identical job again -- codegen/Python workers/shuffle files
+    # already exist; the delta is the fixed cost that amortizes at scale
+    for df in cold.pop("_frames"):
+        df.unpersist()
+    warm = one_pass()
+    warm.pop("_frames")
+
+    report = {
+        "n_entities": n_entities,
+        "pages_per_entity": pages,
+        "filler_hi": filler_hi,
+        "records": n_records,
+        "pairs": n_pairs,
+        "datagen_s": round(datagen_s, 1),
+        "cold": cold,
+        "warm": warm,
+        "cold_pairs_per_sec": round(n_pairs / cold["wall_s"], 1),
+        "warm_pairs_per_sec": round(n_pairs / warm["wall_s"], 1),
+        "f1": round(m["f1"], 4),
+        "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+        "cores": cores,
+        "shuffle_partitions": parts,
+        "load_avg_1m": os.getloadavg()[0],
+    }
+    for k in ("cold", "warm"):
+        print(f"{k}: {report[k]}", file=sys.stderr)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,17 @@ def test_spread_tiny_scan_and_escape_hatch(spark, tmp_path):
     finally:
         spark.conf.unset("spark.croco.spread.enabled")
     assert spread(scan).rdd.getNumPartitions() > 1
+
+
+def test_spread_downstream_heavy_overrides_byte_floor(spark, tmp_path):
+    """ADVICE r4: callers feeding super-linear plans (crossJoin sweeps)
+    declare downstream_heavy=True -- a sub-64KiB single-partition scan is
+    exactly where quadratic work would serialize on one core, so the byte
+    floor must NOT apply there."""
+    from crocodile_spark.operators.blocking import spread
+
+    p = str(tmp_path / "tiny2.parquet")
+    spark.range(10).coalesce(1).write.parquet(p)
+    tiny = spark.read.parquet(p)
+    assert spread(tiny) is tiny  # floor applies on the default path
+    assert spread(tiny, downstream_heavy=True).rdd.getNumPartitions() > 1

@@ -54,10 +54,25 @@ def test_identify_language(spark):
         (2, "le chat est dans la maison et les jardins pour une"),
         (3, "el perro es una mascota para los ninos con la casa"),
         (4, ""),
+        # r5 profiles: pt/it/nl sentences must beat their overlapping
+        # es/fr markers (que/para/por, una, ...) on marker density
+        (5, "uma frase para teste com mais palavras que servem como exemplo"),
+        (6, "una frase di esempio che non serve per il test con parole anche"),
+        (7, "het is een voorbeeld dat niet voor de test met woorden"),
+        # languages WITHOUT a profile map to 'und', never to a wrong
+        # language: Finnish carries zero markers from any profile
+        (8, "tama on suomenkielinen lause ilman mitaan merkkeja siina"),
+        # digits/garbage only: tokens exist but no marker hits -> und
+        (9, "zzz qqq 12345 xyzzy 99"),
     ]
     df = spark.createDataFrame(rows, ["id", "text"])
-    got = {r["id"]: r["pred_lang"] for r in identify_language(df).collect()}
-    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+    out = {r["id"]: r for r in identify_language(df).collect()}
+    got = {i: r["pred_lang"] for i, r in out.items()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und",
+                   5: "pt", 6: "it", 7: "nl", 8: "und", 9: "und"}
+    assert out[4]["lang_confidence"] == 0.0
+    assert out[8]["lang_confidence"] == 0.0
+    assert out[5]["lang_confidence"] > 0.3
 
 
 def test_quality_features_ranges(spark):
