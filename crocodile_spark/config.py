@@ -28,10 +28,19 @@ class PipelineConfig:
     salt_buckets: int = 8                   # salt fan-out for hot blocking keys
     min_token_length: int = 2               # drop 1-char tokens from blocking keys
     # mention-signature token selection: a token is "distinctive" when its
-    # document frequency <= clamp(ceil(frac * N), floor, max_block_size) --
-    # relative at small corpora, bounded by the block cap at web scale
+    # document frequency <= max(floor, ceil(frac * N)) -- a RELATIVE law
+    # (corpus-level stopword removal), deliberately NOT clamped by
+    # max_block_size: the r4 conflation min(cap, frac*N) emptied scoring
+    # signatures at 529k records (name tokens hit DF ~ 70 > 64 and F1 fell
+    # to 0.9844). Pair-blowup safety is cap_blocks' job (oversized tok:
+    # blocks are still dropped from BLOCKING); signature boundedness is
+    # sig_max_tokens' job (k-rarest truncation per record)
     mention_df_fraction: float = 0.05
     mention_df_floor: int = 3
+    # per-record signature bound: keep only the sig_max_tokens rarest
+    # distinctive tokens (ties broken by token text -- deterministic), so
+    # signature width is O(k) regardless of corpus size
+    sig_max_tokens: int = 12
     # EL fuzzy-retry (T5) skew guard: a KB name token indexing more than
     # this many entries is dropped from the token block key -- it cannot
     # discriminate within candidate_retrieval_limit and only inflates the

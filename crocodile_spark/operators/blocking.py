@@ -102,23 +102,33 @@ def band_keys(sig_col, num_hashes: int, band_size: int):
 
 
 def mention_df_threshold(cfg: PipelineConfig, n_records: int) -> int:
-    """Distinctive-token DF cutoff: relative to corpus size at small N,
-    bounded above by the block cap at web scale (a token in more than
-    ``max_block_size`` records cannot form a usable block anyway)."""
+    """Distinctive-token DF cutoff: the RELATIVE law max(floor, ceil(frac*N)).
+
+    Deliberately not clamped by ``max_block_size`` (the r4 law): at 529k
+    synthetic records the clamp dropped 2-syllable name tokens (DF ~ 70 >
+    64) from SCORING signatures, same-entity similarity collapsed, and
+    pairwise F1 fell to 0.9844. The two concerns the clamp conflated are
+    each guarded where they belong: quadratic pair blowup by ``cap_blocks``
+    (oversized tok: blocks never reach the pair join) and signature width
+    by the per-record ``sig_max_tokens``-rarest truncation in
+    ``mention_signatures``. This cutoff only removes corpus-level stopwords
+    (tokens in more than frac of all records), which carry no entity signal
+    at any scale."""
     import math
 
     rel = math.ceil(cfg.mention_df_fraction * n_records)
-    return max(cfg.mention_df_floor, min(cfg.max_block_size, rel))
+    return max(cfg.mention_df_floor, rel)
 
 
 def distinctive_tokens(
     records: DataFrame, cfg: PipelineConfig, n_records: int | None = None
 ) -> DataFrame:
-    """(url, token) pairs for tokens with document frequency <= threshold.
+    """(url, token, df) rows for tokens with document frequency <= threshold.
 
     DF-capping is the corpus-level generalization of stopword removal:
     frequent tokens carry no entity signal and only widen blocks. The
     count is the stage's one driver-side scalar (a metric, not data).
+    The df column lets the caller rank tokens by rarity.
     """
     if n_records is None:
         n_records = records.count()
@@ -128,22 +138,44 @@ def distinctive_tokens(
         .where(F.length("token") >= cfg.min_token_length)
     )
     df_counts = key_count(tok, "token")
-    rare = df_counts.where(F.col("count") <= cutoff).select("token")
-    return tok.join(rare, "token", "inner").select("url", "token")
+    rare = df_counts.where(F.col("count") <= cutoff)
+    return tok.join(rare, "token", "inner").select(
+        "url", "token", F.col("count").alias("df")
+    )
 
 
 def mention_signatures(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Per-record mention signature: sorted distinctive tokens + mention_norm.
+    """Per-record mention signature: the ``sig_max_tokens`` RAREST
+    distinctive tokens (sorted) + mention_norm.
 
     This is the engine's analog of crocodile's normalized mention (F1 law,
     crocodile/processors.py:134): the string key under which candidate sets
     are shared (J5). Records with no distinctive token get an empty
     signature (left join keeps them).
-    """
+
+    The k-rarest truncation is what bounds signature width at web scale
+    (the DF cutoff is relative, so it admits tokens with DF up to frac*N):
+    rows are collected as (df, token) structs, array_sort orders them
+    rarest-first with a deterministic token tie-break, slice keeps k, and
+    the final array_sort restores the canonical token ordering the scoring
+    features (token_jaccard, mention_norm concat) expect. One aggregation,
+    no window shuffle; per-record state is bounded by the record's own
+    token count."""
     sig = (
         distinctive_tokens(records, cfg)
         .groupBy("url")
-        .agg(F.array_sort(F.collect_set("token")).alias("sig_tokens"))
+        .agg(
+            F.array_sort(F.collect_set(F.struct("df", "token"))).alias("_by_rarity")
+        )
+        .select(
+            "url",
+            F.array_sort(
+                F.transform(
+                    F.slice("_by_rarity", 1, cfg.sig_max_tokens),
+                    lambda s: s["token"],
+                )
+            ).alias("sig_tokens"),
+        )
     )
     return (
         records.join(sig, "url", "left")

@@ -112,12 +112,22 @@ def main() -> None:
     r1, w1 = shuffle_totals(spark)
     n_pairs = cold["_frames"][2].count()
     m = evaluate_pairwise_f1(cold["_frames"][4], gold, cold["_frames"][2])
-    # warm: identical job again -- codegen/Python workers/shuffle files
-    # already exist; the delta is the fixed cost that amortizes at scale
+    # warm: identical job again with the cold pass's persisted frames
+    # RELEASED -- codegen/Python workers/shuffle files exist, but every
+    # stage recomputes. This is the honest amortized-fixed-cost number.
     for df in cold.pop("_frames"):
         df.unpersist()
     warm = one_pass()
-    warm.pop("_frames")
+    # hot: identical job a third time with the warm pass's frames still
+    # persisted -- Spark's CacheManager plan-matches them, so this mostly
+    # measures cache traversal + the cluster stage. This is the metric
+    # prior rounds reported as "warm" (r3 11.9 s / r4 15.0 s at 111k);
+    # kept for cross-round comparability, labeled for what it is.
+    hot = one_pass()
+    for df in warm.pop("_frames"):
+        df.unpersist()
+    for df in hot.pop("_frames"):
+        df.unpersist()
 
     report = {
         "n_entities": n_entities,
@@ -128,8 +138,10 @@ def main() -> None:
         "datagen_s": round(datagen_s, 1),
         "cold": cold,
         "warm": warm,
+        "hot_cached": hot,
         "cold_pairs_per_sec": round(n_pairs / cold["wall_s"], 1),
         "warm_pairs_per_sec": round(n_pairs / warm["wall_s"], 1),
+        "hot_pairs_per_sec": round(n_pairs / hot["wall_s"], 1),
         "f1": round(m["f1"], 4),
         "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
         "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
@@ -137,7 +149,7 @@ def main() -> None:
         "shuffle_partitions": parts,
         "load_avg_1m": os.getloadavg()[0],
     }
-    for k in ("cold", "warm"):
+    for k in ("cold", "warm", "hot_cached"):
         print(f"{k}: {report[k]}", file=sys.stderr)
     print(json.dumps(report))
 

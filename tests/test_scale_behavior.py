@@ -60,10 +60,50 @@ def test_hot_key_dropped_but_pairs_survive_via_other_keys(spark):
 
 
 def test_mention_df_threshold_regimes():
+    """The cutoff is RELATIVE at every scale (r5: the r4 min(cap, frac*N)
+    clamp emptied scoring signatures at 529k records and cost 1.5 F1
+    points; boundedness now lives in sig_max_tokens, not here)."""
     cfg = PipelineConfig(max_block_size=64, mention_df_fraction=0.05, mention_df_floor=3)
-    assert mention_df_threshold(cfg, 10) == 3          # floor at tiny corpora
-    assert mention_df_threshold(cfg, 240) == 12        # relative regime
-    assert mention_df_threshold(cfg, 10_000_000) == 64  # block-cap bound at scale
+    assert mention_df_threshold(cfg, 10) == 3            # floor at tiny corpora
+    assert mention_df_threshold(cfg, 240) == 12          # relative regime
+    assert mention_df_threshold(cfg, 10_000_000) == 500_000  # NOT clamped by block cap
+
+
+def test_signature_survives_tokens_hotter_than_block_cap(spark):
+    """r5 regression (529k F1 drop): records whose every name token has
+    DF > max_block_size but << frac*N must still get non-empty scoring
+    signatures -- the block cap only governs BLOCKING keys (cap_blocks),
+    never signature membership."""
+    from crocodile_spark.operators.blocking import mention_signatures
+
+    n, hot_df = 2000, 70  # cutoff = ceil(0.05*2000) = 100 >= 70 > cap = 64
+    rows = []
+    for i in range(n):
+        tok = "zqxname" if i < hot_df else f"fill{i:05d}"
+        rows.append((f"https://h.x/p{i}", [tok, f"uniq{i:05d}"]))
+    records = spark.createDataFrame(rows, "url string, tokens array<string>")
+    cfg = PipelineConfig(max_block_size=64)
+    sigs = mention_signatures(records, cfg)
+    hot = sigs.where(F.array_contains("tokens", "zqxname"))
+    assert hot.where(F.array_contains("sig_tokens", "zqxname")).count() == hot_df
+    assert sigs.where(F.size("sig_tokens") == 0).count() == 0
+
+
+def test_signature_k_rarest_truncation(spark):
+    """sig_max_tokens bounds signature width with the RAREST tokens kept
+    (deterministic df-then-token order), so width is O(k) at any corpus
+    size even though the DF cutoff is relative."""
+    from crocodile_spark.operators.blocking import mention_signatures
+
+    # 'common' appears in 5 records, each rare token in 1
+    rows = [("u0", ["common"] + [f"r{j}" for j in range(10)])]
+    rows += [(f"u{i}", ["common"]) for i in range(1, 5)]
+    records = spark.createDataFrame(rows, "url string, tokens array<string>")
+    cfg = PipelineConfig(sig_max_tokens=3, mention_df_floor=5)
+    sigs = {r["url"]: r["sig_tokens"] for r in mention_signatures(records, cfg).collect()}
+    # u0 keeps the 3 rarest (df=1 tokens, token-text tie-break), not 'common' (df=5)
+    assert sigs["u0"] == ["r0", "r1", "r2"]
+    assert sigs["u1"] == ["common"]
 
 
 def test_pipeline_handles_pathological_corpus(spark):
