@@ -160,7 +160,17 @@ def mention_signatures(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
     the final array_sort restores the canonical token ordering the scoring
     features (token_jaccard, mention_norm concat) expect. One aggregation,
     no window shuffle; per-record state is bounded by the record's own
-    token count."""
+    token count.
+
+    ``block_tokens`` (the subset with DF <= max_block_size, computed in
+    the same aggregation -- zero extra shuffle) is what the ``tok:``
+    blocking-key family keys on: a token in more than ``max_block_size``
+    records can never survive ``cap_blocks`` as a block, so emitting its
+    (url, key) rows into the blocking shuffle is pure waste -- at 10^12
+    docs a DF-10^9 token under the relative cutoff would shuffle 10^9
+    rows just to be dropped. Scoring still sees the full ``sig_tokens``
+    (the 529k F1 lesson: the block cap must never silence scoring
+    evidence)."""
     sig = (
         distinctive_tokens(records, cfg)
         .groupBy("url")
@@ -175,14 +185,22 @@ def mention_signatures(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
                     lambda s: s["token"],
                 )
             ).alias("sig_tokens"),
+            F.array_sort(
+                F.transform(
+                    F.filter(
+                        F.slice("_by_rarity", 1, cfg.sig_max_tokens),
+                        lambda s: s["df"] <= F.lit(cfg.max_block_size),
+                    ),
+                    lambda s: s["token"],
+                )
+            ).alias("block_tokens"),
         )
     )
+    empty = F.array().cast("array<string>")
     return (
         records.join(sig, "url", "left")
-        .withColumn(
-            "sig_tokens",
-            F.coalesce(F.col("sig_tokens"), F.array().cast("array<string>")),
-        )
+        .withColumn("sig_tokens", F.coalesce(F.col("sig_tokens"), empty))
+        .withColumn("block_tokens", F.coalesce(F.col("block_tokens"), empty))
         .withColumn("mention_norm", F.concat_ws(" ", F.col("sig_tokens")))
     )
 
@@ -222,14 +240,14 @@ def blocking_keys(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     tok = sigs.select(
         "url",
         F.explode(
-            F.transform(F.col("sig_tokens"), lambda t: F.concat(F.lit("tok:"), t))
+            F.transform(F.col("block_tokens"), lambda t: F.concat(F.lit("tok:"), t))
         ).alias("key"),
     )
     host = sigs.where(
         F.col("host").isNotNull() & (F.length("host") > 0)
     ).select("url", F.concat(F.lit("host:"), F.col("host")).alias("key"))
     mh = minhash_band_keys(sigs, cfg)
-    # each family emits unique (url, key) rows by construction (sig_tokens
+    # each family emits unique (url, key) rows by construction (block_tokens
     # is a set; host is one row; band index is in the key prefix), so no
     # dedup shuffle is needed here. Exact-duplicate groups (F3 row hash)
     # are NOT a key family: they are handled linearly by exact_dup_pairs.

@@ -60,6 +60,11 @@ def main() -> None:
 
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     parts = cores * 3
+    # local[32] packs every task slot into ONE JVM: the library default of
+    # 8g (250 MB/slot) OOMs around 500k records, which no real cluster
+    # would -- give the measurement JVM a per-slot budget comparable to a
+    # production executor (24g / 32 slots = 768 MB) unless overridden
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark(
         app_name=f"large-checkpoint-{n_entities}",
         master=f"local[{cores}]",

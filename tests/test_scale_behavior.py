@@ -87,6 +87,12 @@ def test_signature_survives_tokens_hotter_than_block_cap(spark):
     hot = sigs.where(F.array_contains("tokens", "zqxname"))
     assert hot.where(F.array_contains("sig_tokens", "zqxname")).count() == hot_df
     assert sigs.where(F.size("sig_tokens") == 0).count() == 0
+    # ...but the hot token must NOT reach the blocking shuffle: its DF (70)
+    # exceeds max_block_size (64), so cap_blocks would drop the block anyway
+    # and every (url, 'tok:zqxname') row would be wasted shuffle at scale
+    assert hot.where(F.array_contains("block_tokens", "zqxname")).count() == 0
+    # the rare companion token still blocks normally
+    assert hot.where(F.array_contains("block_tokens", "uniq00000")).count() == 1
 
 
 def test_signature_k_rarest_truncation(spark):
