@@ -2235,6 +2235,94 @@ FROM assign a JOIN sizes s USING (cluster_id)
 """
 
 
+_INC_ORACLE_DIR = "/tmp/croco_spark_inc_oracle"
+
+
+def q_incremental_er(spark, sf_dir, oracle_dir: str = _INC_ORACLE_DIR):
+    """Incremental ER (the 10^12-doc operating mode: resolve a crawl delta
+    against an existing resolution without re-scoring the corpus): the
+    documents-as-web-pages corpus is split 80/20 by a deterministic url
+    hash, the 80% is batch-resolved, and the 20% delta is resolved
+    incrementally -- delta-touching pairs only, connected components over
+    the new edges with existing clusters contracted to their root node
+    (operators/incremental_er.py). Persists the base assignment + accepted
+    delta edges so the DuckDB oracle can INDEPENDENTLY recompute the final
+    clustering as transitive closure over (old member<->root edges) union
+    (new edges) -- the contraction-equivalence law CC(E_old + E_new) ==
+    expand(CC(contract(clusters_old) + E_new)) is what the hash check
+    verifies. Reference parity: the backend's incremental result-sync loop
+    (backend/app/services/result_sync.py), set-at-a-time."""
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.operators.incremental_er import incremental_er
+    from crocodile_spark.pipeline import run_pipeline
+
+    wp = documents_as_web_pages(spark, sf_dir)
+    is_new = F.pmod(F.xxhash64("url"), F.lit(5)) == 0
+    old_wp, new_wp = wp.where(~is_new), wp.where(is_new)
+
+    cfg = PipelineConfig()
+    base = run_pipeline(spark, old_wp, cfg, use_html=False)
+    inc = incremental_er(spark, base.records, base.clusters, new_wp, cfg,
+                         use_html=False)
+
+    base.clusters.select("url", "cluster_id").write.mode("overwrite").parquet(
+        f"{oracle_dir}/old_assign.parquet"
+    )
+    inc.scored.where(F.col("is_edge")).select("url_a", "url_b").write.mode(
+        "overwrite"
+    ).parquet(f"{oracle_dir}/new_edges.parquet")
+    wp.select("url").write.mode("overwrite").parquet(
+        f"{oracle_dir}/urls.parquet"
+    )
+    sizes = inc.clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return inc.clusters.join(sizes, "cluster_id").select(
+        "url", "cluster_id", "cluster_size"
+    )
+
+
+SQL_INCREMENTAL_ER = f"""
+WITH RECURSIVE
+new_edges AS (
+  SELECT url_a, url_b
+  FROM read_parquet('{_INC_ORACLE_DIR}/new_edges.parquet/*.parquet')
+),
+old_edges AS (
+  SELECT url AS url_a, cluster_id AS url_b
+  FROM read_parquet('{_INC_ORACLE_DIR}/old_assign.parquet/*.parquet')
+  WHERE url <> cluster_id
+),
+und AS (
+  SELECT url_a AS a, url_b AS b FROM new_edges
+  UNION SELECT url_b AS a, url_a AS b FROM new_edges
+  UNION SELECT url_a AS a, url_b AS b FROM old_edges
+  UNION SELECT url_b AS a, url_a AS b FROM old_edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a
+),
+cid AS (
+  SELECT a AS url, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+urls AS (
+  SELECT url FROM read_parquet('{_INC_ORACLE_DIR}/urls.parquet/*.parquet')
+),
+assign AS (
+  SELECT u.url, coalesce(c.cluster_id, u.url) AS cluster_id
+  FROM urls u LEFT JOIN cid c USING (url)
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM assign GROUP BY cluster_id
+)
+SELECT a.url, a.cluster_id, s.cluster_size
+FROM assign a JOIN sizes s USING (cluster_id)
+"""
+
+
 _Q7_LAKE = "/tmp/croco_spark_q7_lake"
 
 
@@ -2317,7 +2405,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s5_scan_filter_projection": q_s5_scan_filter_projection,
     "p4_valid_cell_filter": q_p4_valid_cell_filter,
     "t2_row_qid_union": q_t2_row_qid_union,
-    "tpch_q1": q_tpch_q1,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2345,6 +2432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "er_pipeline_clusters": q_er_pipeline_clusters,
+    "incremental_er": q_incremental_er,
     "s3_json_ingest": q_s3_json_ingest,
     "j7_cell_data": q_j7_cell_data,
     "q7_progress_phases": q_q7_progress_phases,
@@ -2353,10 +2441,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_status_counts": q_a3_status_counts,
     "p7_text_search": q_p7_text_search,
     "w6_confidence_sort": q_w6_confidence_sort,
-    # tail (positions 51-54, beyond the observed driver gate cap): each of
-    # these has a fresh driver-green row in CORRECTNESS_r04, is untouched
-    # this round, and has pytest coverage -- max one round of staleness
-    # before the schedule rotates them back in.
+    # tail (positions 51-55, beyond the observed driver gate cap): each of
+    # these has a fresh driver-green row in CORRECTNESS_r04 (tpch_q1 in
+    # r1-r4 AND per-round bench.py coverage), is untouched this round, and
+    # has pytest coverage -- max one round of staleness before the
+    # schedule rotates them back in. tpch_q1 rotated out in r5 to make
+    # window room for the new incremental_er query (new queries always
+    # enter inside the window).
+    "tpch_q1": q_tpch_q1,
     "serving_page": q_serving_page,
     "sql_api_summary": q_sql_api_summary,
     "m2_classify_columns": q_m2_classify_columns,
@@ -2407,6 +2499,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_dedup": SQL_MINHASH,
     "el_link": SQL_EL,
     "er_pipeline_clusters": SQL_ER_CLUSTERS,
+    "incremental_er": SQL_INCREMENTAL_ER,
     "annotation_round": SQL_ANNOTATION,
     "s3_json_ingest": SQL_S3,
     "j7_cell_data": SQL_J7,
