@@ -235,23 +235,39 @@ def minhash_band_keys(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return sig.select("url", F.explode(F.array(*bands)).alias("key"))
 
 
-def blocking_keys(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Union of the four key families as (url, key) rows."""
-    tok = sigs.select(
+def token_keys(sigs: DataFrame) -> DataFrame:
+    """The corpus-DF-dependent key family: ``tok:`` keys from
+    ``block_tokens`` (cap-eligible distinctive tokens). This is the only
+    family whose keys change as the corpus grows (document frequencies
+    move under the relative cutoff) -- incremental resolution must
+    recompute it over the union, while :func:`static_keys` can be stored."""
+    return sigs.select(
         "url",
         F.explode(
             F.transform(F.col("block_tokens"), lambda t: F.concat(F.lit("tok:"), t))
         ).alias("key"),
     )
+
+
+def static_keys(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The per-record STATIC key families: host + MinHash bands. Neither
+    depends on any corpus-level statistic, so a record's static keys never
+    change once computed -- an incremental resolution stores them with the
+    resolution state and computes them only for the delta (the MinHash
+    shingling pass is the dominant linear cost of the blocking stage)."""
     host = sigs.where(
         F.col("host").isNotNull() & (F.length("host") > 0)
     ).select("url", F.concat(F.lit("host:"), F.col("host")).alias("key"))
-    mh = minhash_band_keys(sigs, cfg)
+    return host.union(minhash_band_keys(sigs, cfg))
+
+
+def blocking_keys(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Union of the four key families as (url, key) rows."""
     # each family emits unique (url, key) rows by construction (block_tokens
     # is a set; host is one row; band index is in the key prefix), so no
     # dedup shuffle is needed here. Exact-duplicate groups (F3 row hash)
     # are NOT a key family: they are handled linearly by exact_dup_pairs.
-    return tok.union(host).union(mh)
+    return token_keys(sigs).union(static_keys(sigs, cfg))
 
 
 def cap_blocks(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -54,6 +54,8 @@ from crocodile_spark.operators.blocking import (
     cap_blocks,
     exact_dup_pairs,
     mention_signatures,
+    static_keys,
+    token_keys,
 )
 from crocodile_spark.operators.clustering import connected_components
 from crocodile_spark.operators.normalize_stage import normalize_pages
@@ -70,7 +72,10 @@ class IncrementalOutput:
 
 
 def delta_pairs(
-    sigs: DataFrame, new_urls: DataFrame, cfg: PipelineConfig
+    sigs: DataFrame,
+    new_urls: DataFrame,
+    cfg: PipelineConfig,
+    existing_static_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs touching at least one new record.
 
@@ -80,8 +85,24 @@ def delta_pairs(
     new-old pairs in one; least/greatest + dropDuplicates canonicalizes.
     The join is delta_keys x block members, so work is
     O(|delta| * avg_block_size), not O(corpus^2).
+
+    With ``existing_static_keys`` (the stored (url, key) host+MinHash rows
+    of the already-resolved records), the MinHash shingling pass runs over
+    the DELTA only; the corpus-DF-dependent ``tok:`` family is still
+    recomputed over the union (a token-level aggregate, linear but far
+    cheaper than shingling). The resulting key set is BYTE-IDENTICAL to
+    the full recompute -- static keys are per-record constants -- so pair
+    generation and the final partition are unchanged.
     """
-    keys = blocking_keys(sigs, cfg)
+    if existing_static_keys is None:
+        keys = blocking_keys(sigs, cfg)
+    else:
+        delta_sigs = sigs.join(new_urls, "url", "semi")
+        keys = (
+            token_keys(sigs)
+            .union(existing_static_keys.select("url", "key"))
+            .union(static_keys(delta_sigs, cfg))
+        )
     capped = cap_blocks(keys, cfg)
     new_keys = capped.join(new_urls, "url", "semi")
     cand = (
@@ -172,13 +193,18 @@ def incremental_er(
     new_pages: DataFrame,
     cfg: PipelineConfig | None = None,
     use_html: bool = True,
+    existing_static_keys: DataFrame | None = None,
 ) -> IncrementalOutput:
     """Resolve ``new_pages`` against an existing resolution.
 
     ``existing_records`` is the normalized records table of the already
     resolved corpus (url, tokens, row_hash, host, text_norm, ...);
     ``existing_clusters`` its (url, cluster_id) assignment with the batch
-    convention cluster_id = min member url.
+    convention cluster_id = min member url. ``existing_static_keys``
+    (optional): the stored host+MinHash (url, key) rows of the resolved
+    corpus -- pass ``static_keys(base_signatures, cfg)`` persisted at base
+    resolution time to skip re-shingling the corpus; the key set (and
+    therefore the output) is identical either way.
     """
     cfg = cfg or PipelineConfig()
     delta = normalize_pages(new_pages, use_html).persist()
@@ -187,7 +213,7 @@ def incremental_er(
     union_records = existing_records.select(*delta.columns).unionByName(delta)
     sigs = mention_signatures(union_records, cfg).persist()
 
-    pairs = delta_pairs(sigs, new_urls, cfg).persist()
+    pairs = delta_pairs(sigs, new_urls, cfg, existing_static_keys).persist()
     scored = score(pairs, sigs, cfg).persist()
     new_edges = scored.where(F.col("is_edge")).select("url_a", "url_b")
 

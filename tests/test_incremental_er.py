@@ -68,6 +68,28 @@ def test_incremental_matches_batch_partition(spark, split_corpus):
     assert m["f1"] >= 0.99
 
 
+def test_incremental_with_stored_static_keys_is_identical(spark, split_corpus):
+    """Passing the stored host+MinHash keys of the base corpus (skipping
+    the corpus re-shingling) must yield the identical pair set and the
+    identical final assignment -- static keys are per-record constants."""
+    from crocodile_spark.operators.blocking import static_keys
+
+    _, old, new, _ = split_corpus
+    cfg = PipelineConfig(shuffle_partitions=4)
+    base = run_pipeline(spark, old, cfg)
+    stored = static_keys(base.signatures, cfg)
+
+    inc_full = incremental_er(spark, base.records, base.clusters, new, cfg)
+    inc_stored = incremental_er(
+        spark, base.records, base.clusters, new, cfg,
+        existing_static_keys=stored,
+    )
+    pairs_a = {(r["url_a"], r["url_b"]) for r in inc_full.pairs.collect()}
+    pairs_b = {(r["url_a"], r["url_b"]) for r in inc_stored.pairs.collect()}
+    assert pairs_a == pairs_b
+    assert _partition(inc_stored.clusters) == _partition(inc_full.clusters)
+
+
 def test_incremental_pairs_all_touch_delta(spark, split_corpus):
     """No old-old pair is ever generated: the quadratic stage is
     delta-scoped by construction."""
