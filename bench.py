@@ -109,15 +109,19 @@ def main() -> None:
     # ADVICE): compare per-query times against the TWO newest prior
     # BENCH_r*.json files, ordered by the NUMERIC round parsed from the
     # filename (lexicographic sort would pin the baseline at r9 forever
-    # once r10 exists). The baseline per query is the MIN across those two
-    # rounds -- the "two-quiet-runs" rule: a slowdown only counts as a
-    # regression if the current run is slow relative to the best of two
-    # independent prior sessions, so one noisy prior round can neither
-    # mask nor manufacture a regression. The delta table goes to stderr
-    # (stdout stays the one-JSON-line driver contract); offenders ride
-    # along under "_regressions", and "_regressions_verdict" states the
-    # rule's outcome explicitly so a real regression can't hide behind a
-    # noise-band narrative.
+    # once r10 exists). The baseline per query is the MAX across those two
+    # rounds: with documented 2-4x same-day weather on this VM, taking the
+    # MIN would let one anomalously-quiet prior round manufacture a false
+    # "structural" flag against a perfectly normal current run (r5 review
+    # finding); exceeding 2x even the SLOWER of two independent prior
+    # sessions is what actually suggests structure. The cost is that two
+    # contended priors inflate the baseline -- which is why the verdict
+    # string names the rule, and per-query manual triage (BENCH.md) stays
+    # the escalation path. The delta table goes to stderr (stdout stays
+    # the one-JSON-line driver contract); offenders ride along under
+    # "_regressions", and "_regressions_verdict" states the rule's outcome
+    # explicitly -- including the no-baseline case -- so a real regression
+    # can't hide behind a noise-band narrative.
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -134,8 +138,9 @@ def main() -> None:
         except Exception:
             prior_q[f] = {}
     regressions = {}
+    n_compared = 0
     if prior_q:
-        print(f"-- per-query delta vs min({', '.join(prior_q)}) --", file=sys.stderr)
+        print(f"-- per-query delta vs max({', '.join(prior_q)}) --", file=sys.stderr)
         for name, cur in timings.items():
             if name.startswith("_"):
                 continue
@@ -144,7 +149,8 @@ def main() -> None:
             if not olds:
                 continue  # no comparable prior (and inf would break the
                 # strict-JSON stdout contract via json.dumps' Infinity)
-            old = min(olds)
+            n_compared += 1
+            old = max(olds)
             ratio = cur / old
             flag = ""
             # the documented same-day VM noise band is ~2x on sub-second
@@ -156,11 +162,19 @@ def main() -> None:
                   file=sys.stderr)
     if regressions:
         timings["_regressions"] = regressions
-    timings["_regressions_verdict"] = (
-        "structural: " + ", ".join(sorted(regressions))
-        if regressions
-        else "clean (no query >2x and >+1s vs the best of the two prior rounds)"
-    )
+    if n_compared == 0:
+        # asserting "clean" when zero queries were compared would claim a
+        # check ran that never did (r5 review finding)
+        timings["_regressions_verdict"] = "no prior baseline (0 queries compared)"
+    elif regressions:
+        timings["_regressions_verdict"] = "structural: " + ", ".join(
+            sorted(regressions)
+        )
+    else:
+        timings["_regressions_verdict"] = (
+            f"clean ({n_compared} queries, none >2x and >+1s vs the slower "
+            "of the two prior rounds)"
+        )
 
     total = round(
         sum(v for k, v in timings.items()

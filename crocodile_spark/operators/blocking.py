@@ -164,11 +164,16 @@ def mention_signatures(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     ``block_tokens`` (the subset with DF <= max_block_size, computed in
     the same aggregation -- zero extra shuffle) is what the ``tok:``
-    blocking-key family keys on: a token in more than ``max_block_size``
-    records can never survive ``cap_blocks`` as a block, so emitting its
-    (url, key) rows into the blocking shuffle is pure waste -- at 10^12
-    docs a DF-10^9 token under the relative cutoff would shuffle 10^9
-    rows just to be dropped. Scoring still sees the full ``sig_tokens``
+    blocking-key family keys on: at 10^12 docs a DF-10^9 token under the
+    relative cutoff would shuffle 10^9 (url, key) rows only to be capped.
+    The df pre-filter is deliberately slightly CONSERVATIVE vs cap_blocks,
+    which caps on post-truncation block MEMBERSHIP: a df > cap token whose
+    holders mostly truncate it out of their k-rarest could form a
+    sub-cap block that cap_blocks would have kept. Records whose only
+    shared evidence is such a token then rely on the host/MinHash
+    families -- an accepted, bounded recall tradeoff (F1 unchanged at
+    every tested scale, 50k-1M) in exchange for never shuffling
+    unboundedly hot keys. Scoring still sees the full ``sig_tokens``
     (the 529k F1 lesson: the block cap must never silence scoring
     evidence)."""
     sig = (

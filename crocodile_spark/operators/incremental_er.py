@@ -207,7 +207,16 @@ def incremental_er(
     therefore the output) is identical either way.
     """
     cfg = cfg or PipelineConfig()
-    delta = normalize_pages(new_pages, use_html).persist()
+    delta = normalize_pages(new_pages, use_html)
+    # re-crawl guard: a url already in the corpus must not enter the union
+    # twice (duplicate rows would merge both versions' tokens under the
+    # signature groupBy, fan out every scored pair touching the url, and
+    # emit the url from both the old and new assignment below). First
+    # version wins -- re-crawl UPDATES are an upsert into the records
+    # table (J2 merge law), out of this operator's scope.
+    delta = delta.join(
+        existing_records.select("url"), "url", "left_anti"
+    ).persist()
     new_urls = delta.select("url")
 
     union_records = existing_records.select(*delta.columns).unionByName(delta)

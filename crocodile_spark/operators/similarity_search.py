@@ -93,9 +93,45 @@ def hyperplane_table_buckets(
 
 
 def embedding_dim(df: DataFrame, emb: str) -> int | None:
-    """Driver-side dim probe (one row of metadata, not data-scale)."""
-    dim_row = df.select(F.size(F.col(emb)).alias("d")).first()
+    """Driver-side dim probe (one row of metadata, not data-scale).
+    Skips null embeddings -- the first row of a dirty corpus may be null
+    and the probe must return the dim of the valid population."""
+    dim_row = (
+        df.where(F.col(emb).isNotNull())
+        .select(F.size(F.col(emb)).alias("d"))
+        .first()
+    )
     return None if dim_row is None else int(dim_row["d"])
+
+
+def _batch_matrix(lists: list, dim: int):
+    """(mask, M) for an Arrow batch of embeddings that may contain nulls
+    or wrong-width rows. Fast path: one clean ``np.array`` over the whole
+    batch (the overwhelmingly common case -- zero extra cost). Fallback on
+    any conversion error: per-row validation, invalid rows masked out so
+    the caller emits null for them instead of killing the job (the native
+    HOF twin degrades to a null dot on the same inputs -- the Arrow path
+    must not be stricter than the plan it mirrors)."""
+    import numpy as np
+
+    try:
+        M = np.array(lists, dtype=np.float64)
+        if M.ndim == 2 and M.shape[1] == dim:
+            return np.ones(len(lists), dtype=bool), M
+    except (TypeError, ValueError):
+        pass
+    mask = np.zeros(len(lists), dtype=bool)
+    rows = []
+    for i, v in enumerate(lists):
+        try:
+            a = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            continue
+        if a.ndim == 1 and a.shape[0] == dim:
+            mask[i] = True
+            rows.append(a)
+    M = np.vstack(rows) if rows else np.empty((0, dim), dtype=np.float64)
+    return mask, M
 
 
 def hyperplane_table_buckets_udf(
@@ -132,14 +168,18 @@ def hyperplane_table_buckets_udf(
     def buckets(emb: pd.Series) -> pd.Series:
         if emb.empty:
             return pd.Series([], dtype=object)
-        M = np.array(emb.tolist(), dtype=np.float64)  # widening cast, exact
-        signs = (M @ allplanes.T) >= 0  # (n, num_tables * ppt)
+        mask, M = _batch_matrix(emb.tolist(), dim)
+        signs = (M @ allplanes.T) >= 0  # (n_valid, num_tables * ppt)
         cols = []
         for t in range(num_tables):
             seg = signs[:, t * planes_per_table : (t + 1) * planes_per_table]
             cols.append(luts[t][seg @ powers])
-        stacked = np.stack(cols, axis=1)  # (n, num_tables) of key strings
-        return pd.Series(list(stacked))
+        stacked = np.stack(cols, axis=1) if len(M) else np.empty((0, num_tables))
+        out = np.full(len(mask), None, dtype=object)
+        valid = np.empty(len(stacked), dtype=object)
+        valid[:] = [row for row in stacked]
+        out[mask] = valid
+        return pd.Series(list(out))
 
     return buckets
 
@@ -315,13 +355,17 @@ def ivf_probe_cells_udf(centroids, n_probe: int):
     def probes(emb: pd.Series) -> pd.Series:
         if emb.empty:
             return pd.Series([], dtype=object)
-        M = np.array(emb.tolist(), dtype=np.float64)
-        dots = M @ C.T  # (n, n_cells)
+        mask, M = _batch_matrix(emb.tolist(), C.shape[1])
+        dots = M @ C.T  # (n_valid, n_cells)
         # reverse columns so a stable argsort of -dot puts the LARGER
         # original cell first among equal dots
         order_rev = np.argsort(-dots[:, ::-1], axis=1, kind="stable")
         cells = (n_cells - 1 - order_rev[:, :take]).astype(np.int32)
-        return pd.Series(list(cells))
+        out = np.full(len(mask), None, dtype=object)
+        valid = np.empty(len(cells), dtype=object)
+        valid[:] = [row for row in cells]
+        out[mask] = valid
+        return pd.Series(list(out))
 
     return probes
 

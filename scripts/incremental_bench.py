@@ -96,6 +96,35 @@ def main() -> None:
     same_partition = partition_checksum(inc.clusters) == partition_checksum(
         full.clusters
     )
+    # Divergence diagnosis. The DOMINANT direction at scale is incremental
+    # retaining merges the from-scratch union run no longer re-derives:
+    # for corpora past frac*N > max_block_size, tok-block eligibility is
+    # just df <= cap, and df only grows as records are added, so tok
+    # blocks (hence base edges) can only disappear under recompute. Two
+    # second-order sources CAN go the other way -- k-rarest truncation
+    # order shifting a token INTO an old record's block_tokens under
+    # union DFs, and old-old pair scores drifting under union signatures
+    # -- so refinement is MEASURED here, not assumed: full_refines_
+    # incremental is True iff every full-batch cluster maps into exactly
+    # one incremental cluster (pure retention; False would mean the
+    # second-order sources manifested and the caveat section of
+    # incremental_er.py applies).
+    joined = (
+        full.clusters.select("url", F.col("cluster_id").alias("cid_full"))
+        .join(
+            inc.clusters.select("url", F.col("cluster_id").alias("cid_inc")),
+            "url",
+        )
+        .persist()
+    )
+    n_diff_urls = joined.where(F.col("cid_full") != F.col("cid_inc")).count()
+    full_is_refinement = (
+        joined.groupBy("cid_full")
+        .agg(F.countDistinct("cid_inc").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+        == 0
+    )
     m_inc = evaluate_pairwise_f1(inc.clusters, gold, full.pairs)
     m_full = evaluate_pairwise_f1(full.clusters, gold, full.pairs)
 
@@ -111,6 +140,8 @@ def main() -> None:
         "full_pairs": full_pairs,
         "pair_frac": round(inc_pairs / full_pairs, 3),
         "partition_identical": bool(same_partition),
+        "n_urls_assigned_differently": n_diff_urls,
+        "full_refines_incremental": bool(full_is_refinement),
         "f1_incremental": round(m_inc["f1"], 4),
         "f1_full": round(m_full["f1"], 4),
         "cores": cores,

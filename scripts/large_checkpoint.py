@@ -133,6 +133,11 @@ def main() -> None:
         df.unpersist()
     for df in hot.pop("_frames"):
         df.unpersist()
+    # r1/w1 above bracket the COLD pass only (reported as
+    # shuffle_*_mb_cold_pass); r2/w2 close over the whole session
+    # (cold+warm+hot+metric jobs) for the honest session total (r5 review
+    # finding: the two differ ~3x and must not share a label)
+    r2, w2 = shuffle_totals(spark)
 
     report = {
         "n_entities": n_entities,
@@ -148,8 +153,10 @@ def main() -> None:
         "warm_pairs_per_sec": round(n_pairs / warm["wall_s"], 1),
         "hot_pairs_per_sec": round(n_pairs / hot["wall_s"], 1),
         "f1": round(m["f1"], 4),
-        "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
-        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+        "shuffle_read_mb_cold_pass": round((r1 - r0) / 1e6, 1),
+        "shuffle_write_mb_cold_pass": round((w1 - w0) / 1e6, 1),
+        "shuffle_read_mb_session": round((r2 - r0) / 1e6, 1),
+        "shuffle_write_mb_session": round((w2 - w0) / 1e6, 1),
         "cores": cores,
         "shuffle_partitions": parts,
         "load_avg_1m": os.getloadavg()[0],

@@ -113,6 +113,21 @@ def test_incremental_empty_delta_is_identity(spark, split_corpus):
     assert _partition(inc.clusters) == _partition(base.clusters)
 
 
+def test_incremental_recrawl_urls_are_ignored(spark, split_corpus):
+    """A delta containing already-resolved urls (re-crawls) must not
+    produce duplicate assignment rows: first version wins, re-crawled
+    rows are dropped before the union."""
+    _, old, new, _ = split_corpus
+    cfg = PipelineConfig(shuffle_partitions=4)
+    base = run_pipeline(spark, old, cfg)
+    # poison the delta with 10 pages the base corpus already resolved
+    recrawl = new.unionByName(old.limit(10))
+    inc = incremental_er(spark, base.records, base.clusters, recrawl, cfg)
+    assert inc.clusters.count() == inc.clusters.select("url").distinct().count()
+    clean = incremental_er(spark, base.records, base.clusters, new, cfg)
+    assert _partition(inc.clusters) == _partition(clean.clusters)
+
+
 def test_merge_clusters_contracts_and_carries_untouched(spark):
     """Unit law for the contraction: an edge from a new node into cluster
     (a,b) re-roots that cluster; cluster (x,y) is untouched and keeps its

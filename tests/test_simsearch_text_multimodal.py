@@ -47,6 +47,40 @@ def test_lsh_topk_recall(spark, embeddings):
     assert r >= 0.7, f"ANN recall@5 {r:.2f}"
 
 
+def test_arrow_ann_paths_tolerate_null_and_ragged_embeddings(spark, embeddings):
+    """The Arrow matmul twins must degrade to null buckets/cells on null
+    or wrong-width embedding rows -- not kill the job -- matching the
+    native HOF paths' null propagation (r5 review finding)."""
+    from crocodile_spark.operators.similarity_search import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    q = embeddings.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dirty = (
+        embeddings.select(F.col("vec_id").alias("cand_id"), "embedding")
+        .withColumn(
+            "embedding",
+            F.when(F.col("cand_id") % 17 == 0, F.lit(None))  # null rows
+            .when(F.col("cand_id") % 19 == 0, F.slice("embedding", 1, 3))  # ragged
+            .otherwise(F.col("embedding")),
+        )
+    )
+    ann = lsh_topk(q, dirty, k=5, num_planes=4, num_tables=12)
+    assert ann.count() > 0  # completes; dirty rows simply never bucket
+    assert ann.where(F.col("cand_id") % 17 == 0).count() == 0
+    cents = train_ivf_centroids(
+        embeddings.select(F.col("vec_id").alias("cand_id"), "embedding"),
+        id_col="cand_id",
+        n_centroids=8,
+    )
+    ivf = ivf_topk(q, dirty, cents, k=5, n_probe=4, arrow=True)
+    assert ivf.count() > 0
+    assert ivf.where(F.col("cand_id") % 17 == 0).count() == 0
+
+
 def test_identify_language(spark):
     rows = [
         (0, "the cat sat on the mat and looked at the dog"),
