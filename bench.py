@@ -171,9 +171,13 @@ def main() -> None:
             sorted(regressions)
         )
     else:
+        base_desc = (
+            f"the slower of the {len(prior_q)} prior rounds"
+            if len(prior_q) > 1
+            else "the single prior round"
+        )
         timings["_regressions_verdict"] = (
-            f"clean ({n_compared} queries, none >2x and >+1s vs the slower "
-            "of the two prior rounds)"
+            f"clean ({n_compared} queries, none >2x and >+1s vs {base_desc})"
         )
 
     total = round(

@@ -68,7 +68,23 @@ class IncrementalOutput:
     pairs: DataFrame          # delta-touching candidate pairs only
     scored: DataFrame         # scored delta-touching pairs
     clusters: DataFrame       # FULL updated assignment (url, cluster_id)
+    signatures: DataFrame | None = None  # union signature table (persisted)
     stage_stats: dict = field(default_factory=dict)
+
+    def unpersist(self) -> None:
+        """Release the frames :func:`incremental_er` persisted (delta,
+        signatures, pairs, scored). Lifetime contract (ADVICE r5): the
+        persists live until the caller either calls this or stops the
+        session -- a long-lived session invoking the operator repeatedly
+        (gate + bench in one SparkSession) must call it after the
+        clusters frame is materialized, or cached union-signature blocks
+        accumulate across invocations."""
+        for df in (self.delta_records, self.signatures, self.pairs, self.scored):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
 
 def delta_pairs(
@@ -229,4 +245,4 @@ def incremental_er(
     clusters = merge_clusters(
         existing_clusters, new_urls, new_edges, cfg.max_cc_iterations
     )
-    return IncrementalOutput(delta, pairs, scored, clusters)
+    return IncrementalOutput(delta, pairs, scored, clusters, signatures=sigs)

@@ -691,6 +691,15 @@ def encode_bmp(w: int, h: int, bpp: int, body: bytes) -> bytes:
 
 
 def encode_wav(channels: int, rate: int, data: bytes) -> bytes:
+    """Canonical-layout WAV: 12-byte RIFF/WAVE header, 'fmt ' chunk at
+    byte offset 12 (16-byte PCM body), 'data' chunk at byte offset 36,
+    samples from byte 44. CONTRACT (ADVICE r5): the multimodal driver
+    oracle (SQL_MULTIMODAL) reads wFormatTag/nChannels/wBitsPerSample at
+    these canonical offsets by hex arithmetic while the Spark side walks
+    RIFF chunks, so every fixture WAV fed to the GATE must come from this
+    encoder (non-canonical JUNK/LIST layouts are pytest-covered against
+    the chunk walk only -- test_simsearch_text_multimodal). A pinned test
+    asserts this layout invariant."""
     return (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))

