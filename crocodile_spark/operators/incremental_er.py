@@ -233,10 +233,15 @@ def incremental_er(
     delta = delta.join(
         existing_records.select("url"), "url", "left_anti"
     ).persist()
+    delta.count()
     new_urls = delta.select("url")
 
     union_records = existing_records.select(*delta.columns).unionByName(delta)
     sigs = mention_signatures(union_records, cfg).persist()
+    # eager: delta_pairs scans sigs ~4x in one job (key families + dup
+    # stars); populating the cache first prevents per-branch lineage
+    # recompute (see pipeline.py non-checkpoint path, r6)
+    sigs.count()
 
     pairs = delta_pairs(sigs, new_urls, cfg, existing_static_keys).persist()
     scored = score(pairs, sigs, cfg).persist()

@@ -76,10 +76,23 @@ def run_pipeline(
             if st.recomputed_buckets is not None:
                 stats[st.name]["recomputed_buckets"] = st.recomputed_buckets
     else:
-        # every intermediate feeds >=2 downstream consumers: persist all
+        # every intermediate feeds >=2 downstream consumers: persist all.
+        # records and sigs are additionally materialized EAGERLY (count())
+        # before their fan-out consumers run: the pair-generation job scans
+        # sigs ~4x (token/host/minhash key families + exact-dup stars) and
+        # the signature job scans records ~3x (token explode, DF join-back,
+        # final re-join); a lazy persist lets those same-job scans race on
+        # the unpopulated cache and recompute the full lineage per branch
+        # (r6 A/B: this, not the r5 signature law itself, was the
+        # er_pipeline 9->12.5 s regression -- with eager materialization
+        # the two laws time within noise of each other, scripts/
+        # sig_law_ab.py). One extra narrow pass per stage is the price;
+        # at cluster scale it is a cache write, not a shuffle.
         records = normalize_pages(web_pages, use_html).persist()
+        records.count()
         sigs, pairs = block(records, cfg)
         sigs = sigs.persist()
+        sigs.count()
         pairs = pairs.persist()
         scored = score(pairs, sigs, cfg)
         scored = scored.persist()
