@@ -120,6 +120,22 @@ def mention_df_threshold(cfg: PipelineConfig, n_records: int) -> int:
     return max(cfg.mention_df_floor, rel)
 
 
+def token_document_frequencies(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(token, df) for every token passing the length floor -- the ONE
+    corpus-level aggregate the signature law depends on. Exposed so an
+    incremental resolution can persist it with the resolution state and
+    merge delta counts instead of re-aggregating the union
+    (incremental_er.incremental_signatures); the batch path and the state
+    builder MUST share this aggregation or the merge law drifts. tokens
+    arrays are distinct per record (F4 set semantics), so the count is a
+    true document frequency."""
+    tok = (
+        records.select("url", F.explode("tokens").alias("token"))
+        .where(F.length("token") >= cfg.min_token_length)
+    )
+    return key_count(tok, "token").select("token", F.col("count").alias("df"))
+
+
 def distinctive_tokens(
     records: DataFrame, cfg: PipelineConfig, n_records: int | None = None
 ) -> DataFrame:
@@ -137,11 +153,8 @@ def distinctive_tokens(
         records.select("url", F.explode("tokens").alias("token"))
         .where(F.length("token") >= cfg.min_token_length)
     )
-    df_counts = key_count(tok, "token")
-    rare = df_counts.where(F.col("count") <= cutoff)
-    return tok.join(rare, "token", "inner").select(
-        "url", "token", F.col("count").alias("df")
-    )
+    rare = token_document_frequencies(records, cfg).where(F.col("df") <= cutoff)
+    return tok.join(rare, "token", "inner").select("url", "token", "df")
 
 
 def mention_signatures(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -176,9 +189,20 @@ def mention_signatures(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
     unboundedly hot keys. Scoring still sees the full ``sig_tokens``
     (the 529k F1 lesson: the block cap must never silence scoring
     evidence)."""
+    return signatures_from_distinctive(records, distinctive_tokens(records, cfg), cfg)
+
+
+def signatures_from_distinctive(
+    records: DataFrame, dist: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """The signature aggregation law over prepared (url, token, df) rows.
+
+    Factored out of :func:`mention_signatures` so the incremental path
+    (incremental_er.incremental_signatures) applies the IDENTICAL law to
+    its rebuild-scoped distinctive rows -- byte-identical signatures are
+    the equivalence contract between the two paths."""
     sig = (
-        distinctive_tokens(records, cfg)
-        .groupBy("url")
+        dist.groupBy("url")
         .agg(
             F.array_sort(F.collect_set(F.struct("df", "token"))).alias("_by_rarity")
         )

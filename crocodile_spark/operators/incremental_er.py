@@ -7,11 +7,16 @@ involve at least one NEW record, and clustering must not rebuild the
 whole component graph. This module provides exactly that asymmetry:
 
 - **normalize**: only the delta is normalized (row-local, linear in delta).
-- **signatures**: recomputed over the union -- the distinctive-token law is
-  corpus-relative (document frequencies move as the corpus grows), and the
-  DF aggregation is LINEAR in corpus size, which is acceptable; only the
-  quadratic stages are delta-scoped. A production deployment would
-  maintain the token-DF table as a streaming aggregate instead.
+- **signatures**: with stored token-DF state (``existing_token_df`` +
+  ``existing_n_records`` + ``existing_signatures``), document frequencies
+  are MERGED (a vocab-scale outer join of the stored (token, df) table
+  with delta counts) instead of re-aggregated over the union, and
+  signatures are rebuilt ONLY for the delta plus the old records holding a
+  token whose distinctive/rank status changed under the new counts (a
+  narrow ``arrays_overlap`` scan -- no full-union explode, no corpus-wide
+  groupBy). Byte-identical to the full recompute by the classification
+  law in :func:`incremental_signatures`. Without state, falls back to
+  recomputing over the union (linear, the r5 behavior).
 - **pairs**: an asymmetric key join -- capped blocking keys of NEW records
   against capped keys of ALL records -- yields exactly the pairs touching
   the delta. Old-old pairs are never generated (they were scored when the
@@ -53,8 +58,11 @@ from crocodile_spark.operators.blocking import (
     blocking_keys,
     cap_blocks,
     exact_dup_pairs,
+    mention_df_threshold,
     mention_signatures,
+    signatures_from_distinctive,
     static_keys,
+    token_document_frequencies,
     token_keys,
 )
 from crocodile_spark.operators.clustering import connected_components
@@ -85,6 +93,123 @@ class IncrementalOutput:
                     df.unpersist()
                 except Exception:
                     pass
+
+
+def incremental_signatures(
+    existing_records: DataFrame,
+    existing_signatures: DataFrame,
+    existing_token_df: DataFrame,
+    existing_n_records: int,
+    delta: DataFrame,
+    n_delta: int,
+    cfg: PipelineConfig,
+    changed_collect_cap: int = 20_000,
+) -> DataFrame | None:
+    """Union signature table from stored state, byte-identical to
+    ``mention_signatures(old union delta)`` -- without touching the old
+    corpus beyond two narrow scans.
+
+    The signature law depends on corpus state ONLY through (token -> df)
+    and the relative cutoff c(N). Merging delta counts into the stored DF
+    table (vocab-scale outer join) reproduces the union's (token, df)
+    exactly. Document frequencies only GROW (the delta adds documents),
+    which makes the set of old records whose signature can change exactly
+    classifiable -- and far smaller than "holders of any df-changed
+    token" (the r6-draft law, which collapsed to full recompute on
+    realistic corpora where every touched entity's name tokens change
+    df):
+
+      * FLIP tokens -- signature-membership or block-eligibility changed:
+        ``df_old <= c_old`` differs from ``df_new <= c_new`` (got hot in
+        the delta, or the growing cutoff newly admits it), or df crossed
+        ``max_block_size`` while distinctive. Every holder rebuilds.
+        Under a stable DF profile these are tokens near the two
+        boundaries -- a small set, collected driver-side (bounded by
+        ``changed_collect_cap``, fallback to full recompute past it) and
+        applied as a narrow ``arrays_overlap`` literal over the old
+        records (a broadcast bloom filter at 10^12 docs).
+      * RANK tokens -- distinctive on both sides, df changed, no flip.
+        Because df never decreases, such a token can only move LATER in
+        the (df, token) rarity order: it can fall OUT of a kept set but
+        never enter one. So it affects exactly the records where the
+        k-rarest truncation is active (stored ``size(sig_tokens) == k``)
+        AND the token is currently IN the kept set. Those records are
+        found by a JOIN of the stored signatures' exploded sig_tokens
+        against the rank-token set -- no driver collect, no literal, and
+        on corpora where few records exceed k distinctive tokens the
+        affected set is ~empty even when millions of dfs moved.
+
+    Tokens absent from the old corpus only affect delta records, which
+    are rebuilt unconditionally. Everything else keeps its stored
+    signature verbatim.
+    """
+    c_old = mention_df_threshold(cfg, existing_n_records)
+    c_new = mention_df_threshold(cfg, existing_n_records + n_delta)
+    B = cfg.max_block_size
+    delta_df = token_document_frequencies(delta, cfg)
+    merged = (
+        existing_token_df.select("token", F.col("df").alias("df_old"))
+        .join(
+            delta_df.select("token", F.col("df").alias("df_delta")),
+            "token",
+            "full_outer",
+        )
+        .select(
+            "token",
+            (
+                F.coalesce("df_old", F.lit(0)) + F.coalesce("df_delta", F.lit(0))
+            ).alias("df"),
+            "df_old",
+        )
+    )
+    old_distinct = F.col("df_old") <= F.lit(c_old)
+    new_distinct = F.col("df") <= F.lit(c_new)
+    base_changed = merged.where(
+        F.col("df_old").isNotNull()
+        & (old_distinct | new_distinct)
+        & (
+            (old_distinct != new_distinct)
+            | (F.col("df") != F.col("df_old"))
+        )
+    )
+    block_flip = (F.col("df_old") <= F.lit(B)) != (F.col("df") <= F.lit(B))
+    is_flip = (old_distinct != new_distinct) | block_flip
+    flips = base_changed.where(is_flip).select("token")
+    ranks = base_changed.where(~is_flip).select("token")
+
+    flip_rows = [r["token"] for r in flips.limit(changed_collect_cap + 1).collect()]
+    if len(flip_rows) > changed_collect_cap:
+        return None
+    flip_lit = F.array(*[F.lit(t) for t in flip_rows]).cast("array<string>")
+
+    flip_urls = existing_records.select("url").where(
+        F.arrays_overlap(F.col("tokens"), flip_lit)
+    )
+    rank_urls = (
+        existing_signatures.where(
+            F.size("sig_tokens") >= F.lit(cfg.sig_max_tokens)
+        )
+        .select("url", F.explode("sig_tokens").alias("token"))
+        .join(ranks, "token", "semi")
+        .select("url")
+    )
+    affected_urls = flip_urls.union(rank_urls).distinct()
+    affected_old = existing_records.select(*delta.columns).join(
+        affected_urls, "url", "semi"
+    )
+    rebuild = affected_old.unionByName(delta)
+    tok = rebuild.select("url", F.explode("tokens").alias("token")).where(
+        F.length("token") >= cfg.min_token_length
+    )
+    rare = merged.where(F.col("df") <= F.lit(c_new)).select("token", "df")
+    dist = tok.join(rare, "token", "inner").select("url", "token", "df")
+    rebuilt = signatures_from_distinctive(rebuild, dist, cfg)
+
+    sig_cols = rebuilt.columns
+    kept = existing_signatures.select(*sig_cols).join(
+        affected_urls, "url", "left_anti"
+    )
+    return kept.unionByName(rebuilt)
 
 
 def delta_pairs(
@@ -210,6 +335,9 @@ def incremental_er(
     cfg: PipelineConfig | None = None,
     use_html: bool = True,
     existing_static_keys: DataFrame | None = None,
+    existing_signatures: DataFrame | None = None,
+    existing_token_df: DataFrame | None = None,
+    existing_n_records: int | None = None,
 ) -> IncrementalOutput:
     """Resolve ``new_pages`` against an existing resolution.
 
@@ -221,6 +349,16 @@ def incremental_er(
     corpus -- pass ``static_keys(base_signatures, cfg)`` persisted at base
     resolution time to skip re-shingling the corpus; the key set (and
     therefore the output) is identical either way.
+
+    ``existing_signatures`` + ``existing_token_df`` +
+    ``existing_n_records`` (r6, pass all three): the stored signature
+    table, its (token, df) aggregate
+    (``blocking.token_document_frequencies`` over the base records), and
+    the base record count. With them the union signature table comes from
+    :func:`incremental_signatures` -- delta counts merged into the stored
+    DF table, signatures rebuilt only for delta + status-changed records
+    -- removing the last corpus-linear aggregation from the delta path.
+    Output is byte-identical with or without state.
     """
     cfg = cfg or PipelineConfig()
     delta = normalize_pages(new_pages, use_html)
@@ -233,11 +371,28 @@ def incremental_er(
     delta = delta.join(
         existing_records.select("url"), "url", "left_anti"
     ).persist()
-    delta.count()
+    n_delta = delta.count()
     new_urls = delta.select("url")
 
-    union_records = existing_records.select(*delta.columns).unionByName(delta)
-    sigs = mention_signatures(union_records, cfg).persist()
+    sigs = None
+    if (
+        existing_signatures is not None
+        and existing_token_df is not None
+        and existing_n_records is not None
+    ):
+        sigs = incremental_signatures(
+            existing_records,
+            existing_signatures,
+            existing_token_df,
+            existing_n_records,
+            delta,
+            n_delta,
+            cfg,
+        )
+    if sigs is None:
+        union_records = existing_records.select(*delta.columns).unionByName(delta)
+        sigs = mention_signatures(union_records, cfg)
+    sigs = sigs.persist()
     # eager: delta_pairs scans sigs ~4x in one job (key families + dup
     # stars); populating the cache first prevents per-branch lineage
     # recompute (see pipeline.py non-checkpoint path, r6)

@@ -124,3 +124,175 @@ def start_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class StreamingEntityResolution:
+    """The production re-crawl operating loop (r6, VERDICT r5 #8): a crawl
+    stream drives :func:`incremental_er` via ``foreachBatch``, maintaining
+    the full resolution state across micro-batches.
+
+    State layout under ``state_dir`` -- the parquet emulation of Iceberg
+    snapshot commits (SURVEY 1.4):
+
+      records/            append-only normalized records (delta appends
+                          touch only new files; concurrent readers of old
+                          files are never invalidated)
+      static_keys/        append-only stored host+MinHash (url, key) rows
+      clusters_v{N}/      versioned snapshots -- each batch writes a NEW
+      signatures_v{N}/    directory and then flips meta.json (tmp+rename,
+      token_df_v{N}/      the atomic commit), so the lazy reads feeding
+                          batch N+1 never race the overwrite
+      meta.json           {"version": N, "n_records": ...}
+
+    Batch 0 bootstraps with the full batch pipeline; every later batch is
+    resolved by the O(delta) stored-state path (incremental_signatures:
+    merged token-DF, delta-scoped rebuild). The partition-equivalence law
+    (streamed batches == one-shot batch resolution) is pytest-gated in
+    test_streaming.py.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        cfg=None,
+        use_html: bool = False,
+    ) -> None:
+        from crocodile_spark.config import PipelineConfig
+
+        self.spark = spark
+        self.state_dir = state_dir
+        self.cfg = cfg or PipelineConfig()
+        self.use_html = use_html
+
+    # -- state plumbing ----------------------------------------------------
+
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.state_dir, "meta.json")
+
+    def _read_meta(self) -> dict | None:
+        import json
+        import os
+
+        if not os.path.exists(self._meta_path()):
+            return None
+        with open(self._meta_path()) as f:
+            return json.load(f)
+
+    def _commit_meta(self, meta: dict) -> None:
+        import json
+        import os
+
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())  # the atomic snapshot flip
+
+    def _p(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.state_dir, name)
+
+    # -- the foreachBatch callback ----------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from crocodile_spark.operators.blocking import (
+            static_keys,
+            token_document_frequencies,
+        )
+        from crocodile_spark.operators.incremental_er import incremental_er
+        from crocodile_spark.pipeline import run_pipeline
+
+        spark, cfg = self.spark, self.cfg
+        meta = self._read_meta()
+        if meta is None:
+            out = run_pipeline(spark, batch_df, cfg, use_html=self.use_html)
+            n = out.records.count()
+            v = 0
+            out.records.write.mode("append").parquet(self._p("records"))
+            static_keys(out.signatures, cfg).write.mode("append").parquet(
+                self._p("static_keys")
+            )
+            out.signatures.write.parquet(self._p(f"signatures_v{v}"))
+            out.clusters.write.parquet(self._p(f"clusters_v{v}"))
+            token_document_frequencies(out.records, cfg).write.parquet(
+                self._p(f"token_df_v{v}")
+            )
+            self._commit_meta({"version": v, "n_records": n})
+            return
+
+        v_old = meta["version"]
+        v = v_old + 1
+        records = spark.read.parquet(self._p("records"))
+        keys = spark.read.parquet(self._p("static_keys"))
+        sigs = spark.read.parquet(self._p(f"signatures_v{v_old}"))
+        clusters = spark.read.parquet(self._p(f"clusters_v{v_old}"))
+        token_df = spark.read.parquet(self._p(f"token_df_v{v_old}"))
+
+        inc = incremental_er(
+            spark,
+            records,
+            clusters,
+            batch_df,
+            cfg,
+            use_html=self.use_html,
+            existing_static_keys=keys,
+            existing_signatures=sigs,
+            existing_token_df=token_df,
+            existing_n_records=meta["n_records"],
+        )
+        n_delta = inc.delta_records.count()
+
+        # merged (token, df) for the new snapshot: the stored table outer-
+        # joined with delta counts -- vocab-scale, the same merge law the
+        # signature rebuild used
+        delta_counts = token_document_frequencies(inc.delta_records, cfg)
+        merged = (
+            token_df.withColumnRenamed("df", "df_old")
+            .join(delta_counts.withColumnRenamed("df", "df_new"), "token", "full_outer")
+            .select(
+                "token",
+                (
+                    F.coalesce("df_old", F.lit(0)) + F.coalesce("df_new", F.lit(0))
+                ).alias("df"),
+            )
+        )
+        delta_sigs = inc.signatures.join(
+            inc.delta_records.select("url"), "url", "semi"
+        )
+
+        # versioned snapshots first, then appends, then the meta flip
+        inc.signatures.write.parquet(self._p(f"signatures_v{v}"))
+        inc.clusters.write.parquet(self._p(f"clusters_v{v}"))
+        merged.write.parquet(self._p(f"token_df_v{v}"))
+        inc.delta_records.write.mode("append").parquet(self._p("records"))
+        static_keys(delta_sigs, cfg).write.mode("append").parquet(
+            self._p("static_keys")
+        )
+        self._commit_meta({"version": v, "n_records": meta["n_records"] + n_delta})
+        inc.unpersist()
+
+    def clusters(self) -> DataFrame:
+        """Current (url, cluster_id) snapshot."""
+        meta = self._read_meta()
+        return self.spark.read.parquet(
+            self._p(f"clusters_v{meta['version']}")
+        )
+
+    def run_stream(self, input_dir: str, checkpoint_dir: str):
+        """Wire a web_pages directory stream into the resolver: one file
+        per micro-batch, exactly-once via the stream checkpoint."""
+        pages = (
+            self.spark.readStream.schema(WEB_PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        return (
+            pages.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

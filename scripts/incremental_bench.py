@@ -59,21 +59,32 @@ def main() -> None:
     n_old, n_new = old_wp.count(), new_wp.count()
 
     # base resolution (not timed against the comparison -- it exists
-    # already in the incremental operating model), including the stored
-    # static blocking keys a production deployment persists with the state
-    from crocodile_spark.operators.blocking import static_keys
+    # already in the incremental operating model), including the FULL
+    # stored state a production deployment persists with it: static
+    # blocking keys, the signature table, the (token, df) aggregate and
+    # the record count (r6 -- removes the union re-aggregation floor)
+    from crocodile_spark.operators.blocking import (
+        static_keys,
+        token_document_frequencies,
+    )
 
     base = run_pipeline(spark, old_wp, cfg)
     base.clusters.persist().count()
     base.records.persist().count()
+    base.signatures.persist().count()
     stored_keys = static_keys(base.signatures, cfg).persist()
     stored_keys.count()
+    stored_token_df = token_document_frequencies(base.records, cfg).persist()
+    stored_token_df.count()
 
-    # incremental path: delta vs resolved base + stored keys
+    # incremental path: delta vs resolved base + stored state
     t0 = time.time()
     inc = incremental_er(
         spark, base.records, base.clusters, new_wp, cfg,
         existing_static_keys=stored_keys,
+        existing_signatures=base.signatures,
+        existing_token_df=stored_token_df,
+        existing_n_records=n_old,
     )
     inc.clusters.write.format("noop").mode("overwrite").save()
     t_inc = time.time() - t0

@@ -172,3 +172,164 @@ def test_incremental_new_entity_forms_own_cluster(spark, split_corpus):
     for bp in base_parts:
         assert any(bp <= p for p in parts), f"base cluster fragmented: {bp}"
     assert any(p and p.isdisjoint(old_urls) for p in parts)
+
+
+# ---- r6: stored token-DF state (incremental_signatures) --------------------
+
+
+def _sig_rows(sigs):
+    return sorted(
+        (r["url"], tuple(r["sig_tokens"]), tuple(r["block_tokens"]), r["mention_norm"])
+        for r in sigs.select(
+            "url", "sig_tokens", "block_tokens", "mention_norm"
+        ).collect()
+    )
+
+
+def _state_fixture(spark):
+    """Hand-built corpus triggering EVERY signature-change class:
+
+    cfg: floor=2, frac=0.15, k=2, B=2; N_old=12 -> c_old=2, N=18 -> c_new=3.
+      lost  df 2->4: loses distinctiveness (got hot in the delta) -- FLIP
+      grow  df 3->3: newly distinctive (cutoff growth alone) -- FLIP
+      shift df 2->3: distinctive both sides, crosses B=2 out of
+                     block_tokens -- FLIP (block-eligibility)
+      rk    df 1->2: distinctive both sides, NO boundary crossed -- a pure
+                     RANK token; bx holds 3 distinctive tokens (> k=2) and
+                     rk falls out of its kept set when its df grows, the
+                     join-path (no driver collect) rebuild class
+      by    truncating (exactly k distinctive) but holding no changed
+            token -- must stay on the kept path untouched
+      stables/aa*/cc*/za/zb/qq/ma/mb/yy0: df unchanged -> kept b7-b9
+    """
+    from crocodile_spark.operators.normalize_stage import normalize_pages
+
+    cfg = PipelineConfig(
+        mention_df_floor=2,
+        mention_df_fraction=0.15,
+        sig_max_tokens=2,
+        max_block_size=2,
+        shuffle_partitions=4,
+    )
+    base_rows = [
+        ("http://h0.ex/b0", "lost aa0"),
+        ("http://h1.ex/b1", "lost aa1"),
+        ("http://h2.ex/b2", "grow cc2"),
+        ("http://h3.ex/b3", "grow cc3"),
+        ("http://h4.ex/b4", "grow cc4"),
+        ("http://h5.ex/b5", "shift za zb"),
+        ("http://h6.ex/b6", "shift za zb qq"),
+        ("http://h7.ex/b7", "stablea stableb"),
+        ("http://h8.ex/b8", "stablec stabled"),
+        ("http://h9.ex/b9", "stablee stablef"),
+        ("http://hx.ex/bx", "rk ma mb"),
+        ("http://hy.ex/by", "mb yy0"),
+    ]
+    delta_rows = [
+        ("http://hd0.ex/d0", "lost dd0"),
+        ("http://hd1.ex/d1", "lost dd1"),
+        ("http://hd2.ex/d2", "shift dd2"),
+        ("http://hd3.ex/d3", "fresh dd3"),
+        ("http://hd4.ex/d4", "fresh dd4"),
+        ("http://hd5.ex/d5", "rk dd5"),
+    ]
+    base_wp = spark.createDataFrame(base_rows, ["url", "text"])
+    delta_wp = spark.createDataFrame(delta_rows, ["url", "text"])
+    base = normalize_pages(base_wp, use_html=False).cache()
+    delta = normalize_pages(delta_wp, use_html=False).cache()
+    return cfg, base, delta
+
+
+def test_incremental_signatures_byte_identical_to_full(spark):
+    """The equivalence contract: incremental_signatures over stored state
+    == mention_signatures over the union, byte for byte, on a fixture
+    where every change class (status flip both directions, k-rarest
+    reorder, block-eligibility cross) fires."""
+    from crocodile_spark.operators.blocking import (
+        mention_signatures,
+        token_document_frequencies,
+    )
+    from crocodile_spark.operators.incremental_er import incremental_signatures
+
+    cfg, base, delta = _state_fixture(spark)
+    base_sigs = mention_signatures(base, cfg).cache()
+    token_df = token_document_frequencies(base, cfg).cache()
+    n_old = base.count()
+
+    inc_sigs = incremental_signatures(
+        base, base_sigs, token_df, n_old, delta, delta.count(), cfg
+    )
+    assert inc_sigs is not None
+    union = base.select(*delta.columns).unionByName(delta)
+    full_sigs = mention_signatures(union, cfg)
+    assert _sig_rows(inc_sigs) == _sig_rows(full_sigs)
+
+    # the change classes really fired: b5's kept set reordered away from
+    # 'shift', 'grow' entered b2-b4, 'lost' left b0/b1, shift left
+    # block_tokens (B=2) while staying scored, and the pure-rank token
+    # 'rk' fell out of bx's kept set via the join path
+    rows = {u: (s, b) for u, s, b, _ in _sig_rows(inc_sigs)}
+    assert "shift" not in rows["http://h5.ex/b5"][0]
+    assert "grow" in rows["http://h2.ex/b2"][0]
+    assert "lost" not in rows["http://h0.ex/b0"][0]
+    d2 = rows["http://hd2.ex/d2"]
+    assert "shift" in d2[0] and "shift" not in d2[1]
+    assert rows["http://hx.ex/bx"][0] == ("ma", "mb")  # rk fell out
+    assert rows["http://hy.ex/by"][0] == ("mb", "yy0")  # kept untouched
+
+
+def test_incremental_signatures_cap_falls_back(spark):
+    from crocodile_spark.operators.blocking import (
+        mention_signatures,
+        token_document_frequencies,
+    )
+    from crocodile_spark.operators.incremental_er import incremental_signatures
+
+    cfg, base, delta = _state_fixture(spark)
+    out = incremental_signatures(
+        base,
+        mention_signatures(base, cfg),
+        token_document_frequencies(base, cfg),
+        base.count(),
+        delta,
+        delta.count(),
+        cfg,
+        changed_collect_cap=1,
+    )
+    assert out is None  # 3 changed tokens > cap -> caller recomputes
+
+
+def test_incremental_er_with_state_identical_partition(spark, split_corpus):
+    """End-to-end: incremental_er with the full stored state (signatures +
+    token-DF + n + static keys) produces the identical partition to the
+    no-state incremental path on the realistic split corpus."""
+    from crocodile_spark.operators.blocking import (
+        static_keys,
+        token_document_frequencies,
+    )
+
+    wp, old, new, gold = split_corpus
+    cfg = PipelineConfig(shuffle_partitions=8)
+    base = run_pipeline(spark, old, cfg)
+    base.records.cache().count()
+    base.signatures.cache().count()
+    token_df = token_document_frequencies(base.records, cfg).cache()
+    keys = static_keys(base.signatures, cfg).cache()
+
+    inc_nostate = incremental_er(
+        spark, base.records, base.clusters, new, cfg
+    )
+    inc_state = incremental_er(
+        spark,
+        base.records,
+        base.clusters,
+        new,
+        cfg,
+        existing_static_keys=keys,
+        existing_signatures=base.signatures,
+        existing_token_df=token_df,
+        existing_n_records=base.records.count(),
+    )
+    assert _partition(inc_state.clusters) == _partition(inc_nostate.clusters)
+    inc_nostate.unpersist()
+    inc_state.unpersist()
