@@ -81,6 +81,7 @@ def make_corpus(
     dup_fraction: float = 0.05,
     neg_pair_factor: int = 4,
     filler_range: tuple[int, int] = (2, 6),
+    embedding_dim: int = 0,
 ) -> Corpus:
     """Plant ``n_entities`` clusters of ~``pages_per_entity`` pages each.
 
@@ -89,8 +90,24 @@ def make_corpus(
     (e.g. (60, 180)) so stage compute dominates scheduling overhead. Long
     pages draw filler from a wider synthetic vocabulary (more realistic
     shingle diversity than the 14-word test vocab).
+
+    ``embedding_dim`` > 0 adds an ``embedding`` column (array<double>) to
+    web_pages: a seeded unit-norm base vector per entity plus per-page
+    Gaussian noise (sigma 0.1), the stand-in for a document-encoder
+    embedding -- same-entity page pairs land at cosine ~0.99, cross-entity
+    near 0. Feeds the ``emb_cosine`` scoring feature (BASELINE.json
+    north_star: 'embedding-cosine features ... feeding a broadcast
+    logistic scorer'). Exact-duplicate pages copy the source embedding.
     """
     rng = random.Random(seed)
+    emb_rng = np.random.default_rng(seed + 1)
+    ent_base = (
+        emb_rng.standard_normal((n_entities, embedding_dim))
+        if embedding_dim > 0
+        else None
+    )
+    if ent_base is not None:
+        ent_base /= np.linalg.norm(ent_base, axis=1, keepdims=True)
     cold_filler = list(_COLD_FILLER)
     if filler_range[1] > 20:
         cold_filler += [_word(rng, rng.choice([2, 3])) for _ in range(400)]
@@ -148,18 +165,22 @@ def make_corpus(
                 f"<script>var t={p};</script><style>p{{margin:0}}</style></head>"
                 f"<body><!-- crawl --><p>{text}</p></body></html>"
             )
-            pages.append(
-                {
-                    "url": url,
-                    "warc_ts": base_ts + pd.Timedelta(days=rng.randrange(30),
-                                                      seconds=rng.randrange(86400)),
-                    "html": html_doc.encode("utf-8"),
-                    "text": text,
-                    "lang": "en" if rng.random() < 0.9 else rng.choice(["de", "fr", "es"]),
-                    "entity_id": ent["entity_id"],
-                    "mention": mention,
-                }
-            )
+            row = {
+                "url": url,
+                "warc_ts": base_ts + pd.Timedelta(days=rng.randrange(30),
+                                                  seconds=rng.randrange(86400)),
+                "html": html_doc.encode("utf-8"),
+                "text": text,
+                "lang": "en" if rng.random() < 0.9 else rng.choice(["de", "fr", "es"]),
+                "entity_id": ent["entity_id"],
+                "mention": mention,
+            }
+            if ent_base is not None:
+                vec = ent_base[ent["entity_id"]] + 0.1 * emb_rng.standard_normal(
+                    embedding_dim
+                )
+                row["embedding"] = [float(x) for x in vec]
+            pages.append(row)
 
     # exact-duplicate texts under new urls (sha256 row-hash path)
     n_dups = int(len(pages) * dup_fraction)
@@ -321,17 +342,20 @@ def corpus_to_spark(spark, corpus: Corpus):
     """Create the three Spark DataFrames with explicit schemas."""
     from pyspark.sql import types as T
 
-    pages_schema = T.StructType(
-        [
-            T.StructField("url", T.StringType(), False),
-            T.StructField("warc_ts", T.TimestampType(), True),
-            T.StructField("html", T.BinaryType(), True),
-            T.StructField("text", T.StringType(), True),
-            T.StructField("lang", T.StringType(), True),
-            T.StructField("entity_id", T.LongType(), True),
-            T.StructField("mention", T.StringType(), True),
-        ]
-    )
+    fields = [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("entity_id", T.LongType(), True),
+        T.StructField("mention", T.StringType(), True),
+    ]
+    if "embedding" in corpus.web_pages.columns:
+        fields.append(
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True)
+        )
+    pages_schema = T.StructType(fields)
     gold_schema = T.StructType(
         [
             T.StructField("url_a", T.StringType(), False),

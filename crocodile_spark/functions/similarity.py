@@ -86,9 +86,20 @@ def _jaro(s1: str, s2: str) -> float:
     return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
 
 
-def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
-    """Pure-python Jaro-Winkler (standard published definition)."""
+def jaro_winkler(
+    s1: str, s2: str, p: float = 0.1, max_prefix: int = 4, boost_threshold: float = 0.7
+) -> float:
+    """Pure-python Jaro-Winkler, canonical Winkler definition: the common-
+    prefix bonus applies only when the Jaro similarity exceeds the boost
+    threshold (0.7 in Winkler's published form). r6: the threshold was
+    previously omitted; adding it matches both the textbook definition and
+    DuckDB's jaro_winkler_similarity bit-for-bit (5k-case fuzz; the ONLY
+    residual divergence is ('','') where DuckDB returns 0.0 and this
+    returns 1.0 -- identical strings are a certain match in ER, so oracle
+    SQL guards that case with a CASE WHEN)."""
     j = _jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
         if a == b:

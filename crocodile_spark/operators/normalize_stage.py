@@ -50,7 +50,9 @@ def normalize_pages(web_pages: DataFrame, use_html: bool = True) -> DataFrame:
         )
     )
     keep = ["url", "host", "text_norm", "tokens", "row_hash"]
-    for c in ("warc_ts", "lang", "entity_id"):
+    # embedding rides through so the scoring stage can compute the
+    # emb_cosine pair feature (r6, north_star parity)
+    for c in ("warc_ts", "lang", "entity_id", "embedding"):
         if c in out.columns:
             keep.append(c)
     return out.select(*keep)

@@ -34,6 +34,12 @@ from crocodile_spark.functions.similarity import (
 # processors.py:177-202).
 PAIR_FEATURES = ("ed_score", "jaccard_score", "jaccardNgram_score", "desc", "me_score")
 
+# Optional slot (r6, north_star parity: "embedding-cosine features ...
+# feeding a broadcast logistic scorer"): computed when the record table
+# carries an ``embedding`` column; missing/null vectors score 0.0 (no
+# evidence), matching the coalesce law of the other slots.
+EMB_FEATURE = "emb_cosine"
+
 # Default logistic weights (trained offline on the synthetic gold corpus via
 # scripts/train_scorer.py; persisted here as plain literals -- the analog of
 # the reference shipping crocodile/models/default.h5, but broadcastable).
@@ -47,21 +53,42 @@ DEFAULT_WEIGHTS = {
 DEFAULT_BIAS = -9.0
 
 
-def load_trained_weights() -> tuple[dict, float] | None:
-    """Weights fitted by scripts/train_scorer.py, if present."""
+def load_trained_weights(variant: str = "base") -> tuple[dict, float] | None:
+    """Weights fitted by scripts/train_scorer.py, if present.
+
+    ``variant='emb'`` loads the embedding-augmented model
+    (logistic_weights_emb.json, trained with --with-embeddings); the two
+    files are kept separate so corpora WITHOUT an embedding column never
+    reference a missing feature column in the plan."""
     import json
     import os
 
+    name = "logistic_weights_emb.json" if variant == "emb" else "logistic_weights.json"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "models",
-        "logistic_weights.json",
+        name,
     )
     if not os.path.exists(path):
         return None
     with open(path) as f:
         payload = json.load(f)
     return payload["weights"], float(payload["bias"])
+
+
+def embedding_cosine(a, b):
+    """Native cosine between two array<double> columns; null/empty/zero
+    vectors -> 0.0 (no evidence). HOF expressions run interpreted
+    (CodegenFallback) but at feature dims (16-768) one dot per pair is
+    far cheaper than shipping pairs through a Python worker; the Arrow
+    matmul path (similarity_search) exists for top-k sweeps where the
+    same vector is dotted against thousands."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return F.when(
+        a.isNotNull() & b.isNotNull() & (na > 0) & (nb > 0), dot / (na * nb)
+    ).otherwise(F.lit(0.0))
 
 
 def attach_pair_features(
@@ -79,7 +106,11 @@ def attach_pair_features(
     broadcast build is single-threaded, so forcing it hurts scaling when
     the join would have been fine).
     """
-    proj = sigs.select("url", "mention_norm", "sig_tokens", "tokens", "row_hash")
+    has_emb = "embedding" in sigs.columns
+    proj_cols = ["url", "mention_norm", "sig_tokens", "tokens", "row_hash"]
+    if has_emb:
+        proj_cols.append("embedding")
+    proj = sigs.select(*proj_cols)
     side = F.broadcast(proj) if broadcast_sigs else proj
     a = side.select(
         F.col("url").alias("url_a"),
@@ -87,6 +118,7 @@ def attach_pair_features(
         F.col("sig_tokens").alias("sig_tokens_a"),
         F.col("tokens").alias("tokens_a"),
         F.col("row_hash").alias("row_hash_a"),
+        *([F.col("embedding").alias("emb_a")] if has_emb else []),
     )
     b = side.select(
         F.col("url").alias("url_b"),
@@ -94,6 +126,7 @@ def attach_pair_features(
         F.col("sig_tokens").alias("sig_tokens_b"),
         F.col("tokens").alias("tokens_b"),
         F.col("row_hash").alias("row_hash_b"),
+        *([F.col("embedding").alias("emb_b")] if has_emb else []),
     )
     df = pairs.join(a, "url_a", "inner").join(b, "url_b", "inner")
     df = (
@@ -115,6 +148,10 @@ def attach_pair_features(
             "me_score", monge_elkan_lev(F.col("sig_tokens_a"), F.col("sig_tokens_b"))
         )
     )
+    if has_emb:
+        df = df.withColumn(
+            EMB_FEATURE, embedding_cosine(F.col("emb_a"), F.col("emb_b"))
+        )
     if use_jaro_winkler:
         df = df.withColumn(
             "jw_score", jaro_winkler_udf(F.col("mention_a"), F.col("mention_b"))
@@ -162,15 +199,32 @@ def score(pairs: DataFrame, sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     Exact duplicates (equal F3 row hashes) are certain matches regardless
     of the similarity score -- empty mention signatures would otherwise
     score identical texts below threshold.
+
+    With an ``embedding`` column on the record table the ``emb_cosine``
+    slot joins the feature set: it enters the W1 mean (heuristic score)
+    and the logistic scorer switches to the embedding-augmented trained
+    weights (logistic_weights_emb.json) with a literal fallback weight.
+    Output schema gains the emb_cosine column only when the input has
+    embeddings, so embedding-less corpora are byte-identical to r5.
     """
     df = attach_pair_features(pairs, sigs)
-    df = heuristic_score(df)
-    df = logistic_score(df)
+    has_emb = EMB_FEATURE in df.columns
+    features = PAIR_FEATURES + ((EMB_FEATURE,) if has_emb else ())
+    df = heuristic_score(df, features=features)
+    if has_emb:
+        trained = load_trained_weights("emb")
+        if trained is not None:
+            weights, bias = trained
+        else:
+            weights, bias = {**DEFAULT_WEIGHTS, EMB_FEATURE: 4.0}, DEFAULT_BIAS - 2.0
+        df = logistic_score(df, weights=weights, bias=bias)
+    else:
+        df = logistic_score(df)
     exact = F.col("row_hash_a") == F.col("row_hash_b")
     return df.select(
         "url_a",
         "url_b",
-        *PAIR_FEATURES,
+        *features,
         "score",
         "match_prob",
         ((F.col("score") >= cfg.score_threshold) | exact).alias("is_edge"),

@@ -28,6 +28,50 @@ LANGUAGE_PROFILES: dict[str, tuple[str, ...]] = {
     "nl": ("het", "een", "van", "dat", "voor", "met", "niet", "zijn", "op", "aan"),
 }
 
+# r6 (VERDICT r5 #7): script-detection tier ahead of the Latin marker
+# argmax. The tokenizer law ([^a-z0-9]+ after lower) erases non-Latin
+# text entirely, so every ru/zh/ja/ar document was 'und' -- a large blind
+# spot for corpus curation. Unicode-block character ratios (native
+# regexp_count, no UDF) pick the dominant script; scripts that determine
+# the language near-uniquely map directly (kana -> ja, Han without kana
+# -> zh, Hangul -> ko); Cyrillic/Arabic get a marker sub-tier (function
+# words chosen to be language-SPECIFIC within the script: e.g. none of
+# the ru markers occur in Ukrainian/Bulgarian orthography) and fall back
+# to the honest script tag ('und-Cyrl') rather than guess -- the law is
+# wrong-language-never, not always-an-answer. Remaining scripts report
+# 'und-<Script>'.
+SCRIPT_RANGES: dict[str, str] = {
+    "Cyrl": "Ѐ-ӿ",
+    "Arab": "؀-ۿ",
+    "Hani": "一-鿿",
+    "Kana": "぀-ヿ",  # hiragana + katakana
+    "Hang": "가-힯",
+    "Grek": "Ͱ-Ͽ",
+    "Deva": "ऀ-ॿ",
+}
+_LATIN_RANGE = "A-Za-z"
+# Russian-specific function words (absent from uk/bg/sr orthography):
+# eto, chto, ego, chtoby, kogda, tol'ko, ochen'
+CYRILLIC_RU_MARKERS = (
+    "это",
+    "что",
+    "его",
+    "чтобы",
+    "когда",
+    "только",
+    "очень",
+)
+# fi, min, ala, ila, allati, alladhi, hadha
+ARABIC_AR_MARKERS = (
+    "في",
+    "من",
+    "على",
+    "إلى",
+    "التي",
+    "الذي",
+    "هذا",
+)
+
 
 def language_scores(text_col: Column | str) -> dict[str, Column]:
     """Per-language marker-hit ratio over the document's token set."""
@@ -42,19 +86,85 @@ def language_scores(text_col: Column | str) -> dict[str, Column]:
     return out
 
 
+def script_counts(text_col: Column | str) -> dict[str, Column]:
+    """Per-script letter counts via native regexp_count (plus Latin)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = {
+        s: F.regexp_count(t, F.lit(f"[{rng}]")) for s, rng in SCRIPT_RANGES.items()
+    }
+    out["Latn"] = F.regexp_count(t, F.lit(f"[{_LATIN_RANGE}]"))
+    return out
+
+
+def _unicode_marker_hit(text_col: Column, markers: tuple[str, ...]) -> Column:
+    """True when any marker word appears among the Unicode word tokens
+    (split on non-letter/digit, lowercased) -- the tokenizer for the
+    non-Latin sub-tier, since the Latin token law erases these scripts."""
+    utoks = F.filter(
+        F.split(F.lower(text_col), r"[^\p{L}\p{N}]+"),
+        lambda x: F.length(x) > 0,
+    )
+    return F.size(F.array_intersect(utoks, F.array(*[F.lit(m) for m in markers]))) > 0
+
+
 def identify_language(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds pred_lang + lang_confidence: argmax of the marker ratios, with
-    'und' (undetermined) when no profile scores above zero."""
-    scores = language_scores(F.col(text_col))
+    """Adds pred_lang + lang_confidence.
+
+    Two tiers (r6): when Latin letters are at least as frequent as the
+    top non-Latin script, the original marker-ratio argmax runs ('und'
+    when no profile scores above zero) -- byte-identical to r5 on
+    all-Latin corpora. Otherwise the dominant script decides: kana
+    present and CJK dominant -> ja; Han without kana -> zh; Hangul -> ko;
+    Cyrillic/Arabic -> ru/ar only on a language-specific marker hit, else
+    the honest 'und-Cyrl'/'und-Arab'; other scripts -> 'und-<Script>'.
+    Script-tier confidence is the dominant script's share of letters."""
+    t = F.col(text_col)
+    scores = language_scores(t)
     pairs = F.array(
         *[F.struct(s.alias("score"), F.lit(lang).alias("lang"))
           for lang, s in scores.items()]
     )
     best = F.array_max(pairs)  # struct compare: score first, then lang
+    latin_pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    latin_conf = best["score"]
+
+    c = script_counts(t)
+    nl = F.array(
+        *[
+            F.struct(c[s].alias("n"), F.lit(s).alias("script"))
+            for s in SCRIPT_RANGES
+        ]
+    )
+    nl_best = F.array_max(nl)
+    total = sum(c.values()).cast("double")
+    kana, han = c["Kana"], c["Hani"]
+    ja_cond = (kana > 0) & nl_best["script"].isin("Kana", "Hani")
+    ru_hit = _unicode_marker_hit(t, CYRILLIC_RU_MARKERS)
+    ar_hit = _unicode_marker_hit(t, ARABIC_AR_MARKERS)
+    script_pred = (
+        F.when(ja_cond, F.lit("ja"))
+        .when(nl_best["script"] == "Hani", F.lit("zh"))
+        .when(nl_best["script"] == "Hang", F.lit("ko"))
+        .when(
+            nl_best["script"] == "Cyrl",
+            F.when(ru_hit, F.lit("ru")).otherwise(F.lit("und-Cyrl")),
+        )
+        .when(
+            nl_best["script"] == "Arab",
+            F.when(ar_hit, F.lit("ar")).otherwise(F.lit("und-Arab")),
+        )
+        .otherwise(F.concat(F.lit("und-"), nl_best["script"]))
+    )
+    script_conf = F.when(ja_cond, (kana + han) / total).otherwise(
+        nl_best["n"] / total
+    )
+    latin_wins = c["Latn"] >= nl_best["n"]
     return df.withColumn(
-        "pred_lang",
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
-    ).withColumn("lang_confidence", best["score"])
+        "pred_lang", F.when(latin_wins, latin_pred).otherwise(script_pred)
+    ).withColumn(
+        "lang_confidence",
+        F.when(latin_wins, latin_conf).otherwise(script_conf),
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

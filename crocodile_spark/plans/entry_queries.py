@@ -140,7 +140,8 @@ feat AS (
           ELSE 0.0 END, 6) AS jaccardNgram_score,
     round(CASE WHEN greatest(len(ta), len(tb)) > 0
           THEN 1.0 - levenshtein(ta, tb) * 1.0 / greatest(len(ta), len(tb))
-          ELSE 1.0 END, 6) AS ed_score
+          ELSE 1.0 END, 6) AS ed_score,
+    ta, tb
   FROM pairs
 )
 """
@@ -183,18 +184,69 @@ def _pair_features(spark, sf_dir) -> DataFrame:
         F.round(token_jaccard(F.col("ka"), F.col("kb")), 6).alias("jaccard_score"),
         F.round(ngram_jaccard(F.col("ta"), F.col("tb")), 6).alias("jaccardNgram_score"),
         F.round(levenshtein_similarity(F.col("ta"), F.col("tb")), 6).alias("ed_score"),
+        # normalized texts ride along for consumers adding string features
+        # (q_f6_f7's jw_score); score-only consumers just don't select them
+        "ta",
+        "tb",
     )
 
 
 def q_f6_f7_pair_similarity(spark, sf_dir):
     """Blocking self-join (J5 analog) + F6 token Jaccard + F7 ngram Jaccard
-    + in-engine ed_score (X1 slots, crocodile/feature.py:75-85)."""
-    return _pair_features(spark, sf_dir)
+    + in-engine ed_score (X1 slots, crocodile/feature.py:75-85).
+
+    r6 (VERDICT #3): two more scorer slots are value-checked here --
+    jw_score (canonical boost-thresholded Jaro-Winkler, Arrow pandas UDF;
+    DuckDB's jaro_winkler_similarity replays it exactly except ('','')
+    which the SQL CASE-guards) and emb_cosine (the embedding-cosine
+    feature, embeddings joined by doc_id=vec_id, absent vectors -> 0.0
+    per the scoring law; DuckDB list_cosine_similarity replays the
+    zip_with/aggregate dot product bit-for-bit at round 6)."""
+    from crocodile_spark.functions.similarity import jaro_winkler_udf
+    from crocodile_spark.operators.scoring import embedding_cosine
+
+    f = _pair_features(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    f = (
+        f.join(
+            emb.select(F.col("vec_id").alias("doc_id_a"), F.col("emb").alias("ea")),
+            "doc_id_a",
+            "left",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id_b"), F.col("emb").alias("eb")),
+            "doc_id_b",
+            "left",
+        )
+    )
+    return f.select(
+        "doc_id_a",
+        "doc_id_b",
+        "source",
+        "jaccard_score",
+        "jaccardNgram_score",
+        "ed_score",
+        F.round(jaro_winkler_udf(F.col("ta"), F.col("tb")), 6).alias("jw_score"),
+        F.round(embedding_cosine(F.col("ea"), F.col("eb")), 6).alias("emb_cosine"),
+    )
 
 
 SQL_F6F7 = _PAIR_SQL_CTE + """
-SELECT doc_id_a, doc_id_b, source, jaccard_score, jaccardNgram_score, ed_score
-FROM feat
+, embs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT f.doc_id_a, f.doc_id_b, f.source,
+       f.jaccard_score, f.jaccardNgram_score, f.ed_score,
+       round(CASE WHEN len(f.ta) = 0 AND len(f.tb) = 0 THEN 1.0
+             ELSE jaro_winkler_similarity(f.ta, f.tb) END, 6) AS jw_score,
+       round(CASE WHEN ea.emb IS NULL OR eb.emb IS NULL THEN 0.0
+             ELSE list_cosine_similarity(ea.emb, eb.emb) END, 6) AS emb_cosine
+FROM feat f
+LEFT JOIN embs ea ON ea.vec_id = f.doc_id_a
+LEFT JOIN embs eb ON eb.vec_id = f.doc_id_b
 """
 
 
@@ -598,13 +650,27 @@ _LANG_PLANTS: list[tuple[int, str]] = [
     (-3, "het is een voorbeeld dat niet voor de test met woorden"),
     (-4, "tama on suomenkielinen lause ilman mitaan merkkeja siina"),
     (-5, "zzz qqq 12345 xyzzy 99"),
+    # r6 script-tier plants (VERDICT r5 #7): expected ru / und-Cyrl (a
+    # Ukrainian sentence -- shared-Slavic words but no ru-specific marker,
+    # the honest tag, never the wrong language) / ja / zh / ko / ar /
+    # und-Grek
+    (-6, "это очень важный текст когда только проверка"),
+    (-7, "це дуже важливий текст і перевірка мови"),
+    (-8, "日本語のテストです"),
+    (-9, "这是一个中文测试文档"),
+    (-10, "한국어 테스트 문서입니다"),
+    (-11, "هذا نص اختبار في اللغة العربية"),
+    (-12, "αυτο ειναι ενα ελληνικο κειμενο"),
 ]
 
 
 def q_lang_id(spark, sf_dir):
     """Language ID: argmax of per-language marker-hit ratios over the
     doc's token set (text_analysis.identify_language; 7 frozen ASCII
-    profiles since r5, 'und' when no profile scores above zero)."""
+    profiles since r5, 'und' when no profile scores above zero), plus the
+    r6 script tier for non-Latin documents (Unicode-block ratios ->
+    ja/zh/ko, marker-gated ru/ar, honest und-<Script> otherwise); plants
+    cover every branch including the Ukrainian und-Cyrl honesty case."""
     from crocodile_spark.operators.text_analysis import identify_language
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -624,10 +690,19 @@ _SQL_ALLTOKS = (
 
 
 def _sql_lang_id() -> str:
-    """Generated from the SAME LANGUAGE_PROFILES dict the operator uses:
-    per-language marker ratios, then struct-max (score, then lang --
-    DuckDB struct comparison == Spark array_max tie law, verified)."""
-    from crocodile_spark.operators.text_analysis import LANGUAGE_PROFILES
+    """Generated from the SAME constants the operator uses
+    (LANGUAGE_PROFILES, SCRIPT_RANGES, the ru/ar marker lists): the r5
+    Latin marker-ratio argmax plus the r6 script tier. Struct-max tie law
+    == Spark array_max (verified); script letter counts replayed as
+    keep-class regexp_replace lengths; the non-Latin marker sub-tier uses
+    the same Unicode word split ('[^\\pL\\pN]+' after lower) on both
+    engines."""
+    from crocodile_spark.operators.text_analysis import (
+        ARABIC_AR_MARKERS,
+        CYRILLIC_RU_MARKERS,
+        LANGUAGE_PROFILES,
+        SCRIPT_RANGES,
+    )
 
     structs = []
     for lang, markers in LANGUAGE_PROFILES.items():
@@ -640,24 +715,63 @@ def _sql_lang_id() -> str:
         structs.append(
             f"struct_pack(score := CAST(({ratio}) AS DOUBLE), lang := '{lang}')"
         )
+    cnt = {
+        s: f"len(regexp_replace(text, '[^{rng}]', '', 'g'))"
+        for s, rng in SCRIPT_RANGES.items()
+    }
+    cnt["Latn"] = "len(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    nl_structs = ", ".join(
+        f"struct_pack(n := CAST({cnt[s]} AS BIGINT), script := '{s}')"
+        for s in SCRIPT_RANGES
+    )
+    total = " + ".join(cnt.values())
+    ru_sql = ", ".join(f"'{m}'" for m in CYRILLIC_RU_MARKERS)
+    ar_sql = ", ".join(f"'{m}'" for m in ARABIC_AR_MARKERS)
     plants = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
         for i, t in _LANG_PLANTS
     )
-    return f"""
+    return rf"""
 WITH d AS (
   SELECT doc_id, text FROM documents
   UNION ALL {plants}
 ), t AS (
-  SELECT doc_id, {_SQL_ALLTOKS} AS toks FROM d
+  SELECT doc_id, text, {_SQL_ALLTOKS} AS toks,
+         list_filter(string_split_regex(lower(text), '[^\pL\pN]+'),
+                     x -> len(x) > 0) AS utoks
+  FROM d
 ), b AS (
-  SELECT doc_id, list_aggregate([{', '.join(structs)}], 'max') AS best
+  SELECT doc_id, text, utoks,
+         list_aggregate([{', '.join(structs)}], 'max') AS best,
+         list_aggregate([{nl_structs}], 'max') AS nlb,
+         {cnt['Latn']} AS latn,
+         {cnt['Kana']} AS kana,
+         {cnt['Hani']} AS han,
+         ({total}) * 1.0 AS total
   FROM t
+), r AS (
+  SELECT doc_id,
+    latn >= nlb.n AS latin_wins,
+    CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS latin_pred,
+    best.score AS latin_conf,
+    kana > 0 AND nlb.script IN ('Kana', 'Hani') AS ja_cond,
+    len(list_intersect(utoks, [{ru_sql}])) > 0 AS ru_hit,
+    len(list_intersect(utoks, [{ar_sql}])) > 0 AS ar_hit,
+    nlb, kana, han, total
+  FROM b
 )
 SELECT doc_id,
-       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang,
-       round(best.score, 6) AS lang_conf
-FROM b
+  CASE WHEN latin_wins THEN latin_pred
+       WHEN ja_cond THEN 'ja'
+       WHEN nlb.script = 'Hani' THEN 'zh'
+       WHEN nlb.script = 'Hang' THEN 'ko'
+       WHEN nlb.script = 'Cyrl' THEN CASE WHEN ru_hit THEN 'ru' ELSE 'und-Cyrl' END
+       WHEN nlb.script = 'Arab' THEN CASE WHEN ar_hit THEN 'ar' ELSE 'und-Arab' END
+       ELSE 'und-' || nlb.script END AS pred_lang,
+  round(CASE WHEN latin_wins THEN latin_conf
+        WHEN ja_cond THEN (kana + han) / total
+        ELSE nlb.n / total END, 6) AS lang_conf
+FROM r
 """
 
 
@@ -2251,8 +2365,18 @@ def q_incremental_er(spark, sf_dir, oracle_dir: str = _INC_ORACLE_DIR):
     (new edges) -- the contraction-equivalence law CC(E_old + E_new) ==
     expand(CC(contract(clusters_old) + E_new)) is what the hash check
     verifies. Reference parity: the backend's incremental result-sync loop
-    (backend/app/services/result_sync.py), set-at-a-time."""
+    (backend/app/services/result_sync.py), set-at-a-time.
+
+    r6: runs through the STORED-STATE path (signatures + token-DF +
+    static keys persisted with the base resolution,
+    incremental_signatures) so the driver row covers the O(delta)
+    production path; output is byte-identical to the no-state path by the
+    tested equivalence law (test_incremental_er)."""
     from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.operators.blocking import (
+        static_keys,
+        token_document_frequencies,
+    )
     from crocodile_spark.operators.incremental_er import incremental_er
     from crocodile_spark.pipeline import run_pipeline
 
@@ -2263,7 +2387,12 @@ def q_incremental_er(spark, sf_dir, oracle_dir: str = _INC_ORACLE_DIR):
     cfg = PipelineConfig()
     base = run_pipeline(spark, old_wp, cfg, use_html=False)
     inc = incremental_er(spark, base.records, base.clusters, new_wp, cfg,
-                         use_html=False)
+                         use_html=False,
+                         existing_static_keys=static_keys(base.signatures, cfg),
+                         existing_signatures=base.signatures,
+                         existing_token_df=token_document_frequencies(
+                             base.records, cfg),
+                         existing_n_records=base.records.count())
 
     base.clusters.select("url", "cluster_id").write.mode("overwrite").parquet(
         f"{oracle_dir}/old_assign.parquet"

@@ -8,7 +8,12 @@ plan (zero per-task pickling). Training is plain numpy gradient descent on
 the pair features of gold-labeled candidate pairs -- no sklearn/TF
 dependency.
 
-Usage: python scripts/train_scorer.py [out_json]
+Usage: python scripts/train_scorer.py [--with-embeddings] [out_json]
+
+``--with-embeddings`` (r6): train over a corpus generated with
+embedding_dim=16 so the feature set includes emb_cosine; writes
+logistic_weights_emb.json, loaded by score() when the record table
+carries an embedding column.
 """
 
 from __future__ import annotations
@@ -23,26 +28,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    with_emb = "--with-embeddings" in args
+    if with_emb:
+        args.remove("--with-embeddings")
+    default_name = "logistic_weights_emb.json" if with_emb else "logistic_weights.json"
     out_path = (
-        sys.argv[1]
-        if len(sys.argv) > 1
+        args[0]
+        if args
         else os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "crocodile_spark",
             "models",
-            "logistic_weights.json",
+            default_name,
         )
     )
     from pyspark.sql import functions as F
 
     from crocodile_spark.config import PipelineConfig
     from crocodile_spark.datagen import corpus_to_spark, make_corpus
-    from crocodile_spark.operators.scoring import PAIR_FEATURES
+    from crocodile_spark.operators.scoring import EMB_FEATURE, PAIR_FEATURES
     from crocodile_spark.pipeline import run_pipeline
     from crocodile_spark.session import get_spark
 
+    features = PAIR_FEATURES + ((EMB_FEATURE,) if with_emb else ())
     spark = get_spark(app_name="train-scorer", master="local[8]", shuffle_partitions=8)
-    corpus = make_corpus(n_entities=120, pages_per_entity=6, seed=7)
+    corpus = make_corpus(
+        n_entities=120, pages_per_entity=6, seed=7,
+        embedding_dim=16 if with_emb else 0,
+    )
     wp, _, gold = corpus_to_spark(spark, corpus)
     out = run_pipeline(spark, wp, PipelineConfig(shuffle_partitions=8), use_html=True)
 
@@ -54,7 +68,7 @@ def main() -> None:
     labeled = (
         out.scored.join(ents_a, "url_a")
         .join(ents_b, "url_b")
-        .selectExpr(*PAIR_FEATURES, "cast(ent_a = ent_b as int) as label")
+        .selectExpr(*features, "cast(ent_a = ent_b as int) as label")
     )
     pos = labeled.where("label = 1")
     neg = labeled.where("label = 0")
@@ -62,7 +76,7 @@ def main() -> None:
     if n_neg > n_pos:
         neg = neg.sample(fraction=min(1.0, n_pos / n_neg), seed=7)
     pdf = pos.unionByName(neg).toPandas()
-    X = pdf[list(PAIR_FEATURES)].to_numpy(dtype=float)
+    X = pdf[list(features)].to_numpy(dtype=float)
     y = pdf["label"].to_numpy(dtype=float)
     n, d = X.shape
     print(f"training on {n} labeled pairs ({int(y.sum())} positive), {d} features")
@@ -90,8 +104,8 @@ def main() -> None:
 
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     payload = {
-        "features": list(PAIR_FEATURES),
-        "weights": {c: round(float(wi), 6) for c, wi in zip(PAIR_FEATURES, w)},
+        "features": list(features),
+        "weights": {c: round(float(wi), 6) for c, wi in zip(features, w)},
         "bias": round(float(b), 6),
         "train": {"n": n, "f1": round(f1, 4), "seed": 7},
     }

@@ -72,3 +72,50 @@ def test_pipeline_tolerates_malformed_html(spark):
     out = run_pipeline(spark, wp, PipelineConfig(shuffle_partitions=4), use_html=True)
     assert out.clusters.count() == 4
     assert out.clusters.where("cluster_id IS NULL").count() == 0
+
+
+def test_pipeline_f1_with_embedding_feature(spark):
+    """r6 (north_star parity): with an embedding column on the input, the
+    emb_cosine slot joins the feature set end-to-end and pairwise F1 holds
+    the >=0.9998 bar. Embedding-less inputs keep the r5 schema (second
+    assert) so every existing oracle is unaffected."""
+    from crocodile_spark.datagen import corpus_to_spark, make_corpus
+
+    wp, kb, gold = corpus_to_spark(
+        spark,
+        make_corpus(n_entities=40, pages_per_entity=6, seed=123, embedding_dim=16),
+    )
+    out = run_pipeline(spark, wp, PipelineConfig(shuffle_partitions=8))
+    assert "emb_cosine" in out.scored.columns
+    m = evaluate_pairwise_f1(out.clusters, gold, out.pairs)
+    assert m["f1"] >= 0.9998, m
+
+    wp2, _, _ = corpus_to_spark(
+        spark, make_corpus(n_entities=5, pages_per_entity=3, seed=123)
+    )
+    out2 = run_pipeline(spark, wp2, PipelineConfig(shuffle_partitions=4))
+    assert "emb_cosine" not in out2.scored.columns
+
+
+def test_embedding_cosine_column_law(spark):
+    """emb_cosine: identical vectors -> 1, orthogonal -> 0, null/zero ->
+    0.0 (no evidence), matching the SQL oracle's CASE law."""
+    from crocodile_spark.operators.scoring import embedding_cosine
+
+    df = spark.createDataFrame(
+        [
+            ([1.0, 0.0], [1.0, 0.0]),
+            ([1.0, 0.0], [0.0, 2.0]),
+            (None, [1.0, 0.0]),
+            ([0.0, 0.0], [1.0, 0.0]),
+            ([3.0, 4.0], [3.0, 4.0]),
+        ],
+        "a array<double>, b array<double>",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            F.round(embedding_cosine(F.col("a"), F.col("b")), 6)
+        ).collect()
+    ]
+    assert got == [1.0, 0.0, 0.0, 0.0, 1.0]
