@@ -7,9 +7,19 @@ F1, and total shuffle read/write bytes from the Spark REST status API.
 One JSON line on stdout (plus a human table on stderr) so rows can be
 pasted into BENCH.md with provenance.
 
-Usage: python scripts/large_checkpoint.py [n_entities] [pages] [filler_hi]
+Usage: python scripts/large_checkpoint.py [n_entities] [pages] [filler_hi] [--skew]
        defaults: 13230 8 120  (~111k records, the r3/r4 comparable law)
        r5 scale row: 63000 8 120  (~529k records)
+
+``--skew`` (r6, VERDICT r5 #6) plants pathological skew on top of the
+benign corpus: one exact-duplicate group of ~10% of the corpus (every
+copy on ONE host -- a giant row-hash window partition AND a giant capped
+host block), plus one near-universal token sitting just UNDER the
+relative DF cutoff (a ~29k-row posting list through the distinctive-token
+join and signature aggregation). Gold pairs are untouched (the dup group
+is appended under new urls), so F1 comparability holds. The report adds
+per-stage straggler quantiles (max/median task time for the slowest
+stages) -- the skew-resilience evidence for the BENCH.md row.
 """
 
 from __future__ import annotations
@@ -44,10 +54,108 @@ def shuffle_totals(spark) -> tuple[int, int]:
         return 0, 0
 
 
+def task_straggler_stats(spark, top_n: int = 3) -> list[dict]:
+    """Median/max task run time for the ``top_n`` heaviest completed
+    stages (by total executor run time) via the REST taskSummary API --
+    the max/median ratio is the straggler evidence for skew runs."""
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        base = f"{ui}/api/v1/applications"
+        apps = json.load(urllib.request.urlopen(base, timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/{app_id}/stages?status=complete", timeout=10
+            )
+        )
+        stages.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
+        out = []
+        for s in stages[:top_n]:
+            sid, att = s["stageId"], s["attemptId"]
+            summ = json.load(
+                urllib.request.urlopen(
+                    f"{base}/{app_id}/stages/{sid}/{att}/taskSummary"
+                    "?quantiles=0.5,1.0",
+                    timeout=10,
+                )
+            )
+            med, mx = summ["executorRunTime"]
+            peak_mem = summ.get("peakExecutionMemory", [0, 0])
+            spill = summ.get("memoryBytesSpilled", [0, 0])
+            out.append(
+                {
+                    "stage": sid,
+                    "name": s.get("name", "")[:60],
+                    "n_tasks": s.get("numCompleteTasks"),
+                    "task_ms_median": round(med),
+                    "task_ms_max": round(mx),
+                    "max_over_median": round(mx / med, 1) if med else None,
+                    # per-task peak execution memory + spill: the
+                    # executor-sizing evidence (VERDICT r5 #9)
+                    "peak_exec_mem_mb_max": round(peak_mem[-1] / 1e6, 1),
+                    "mem_spill_mb_max": round(spill[-1] / 1e6, 1),
+                }
+            )
+        return out
+    except Exception as e:  # UI off or API drift: report, don't fail the run
+        return [{"error": str(e)}]
+
+
+def plant_skew(corpus, dup_frac: float = 0.10, hot_token_frac: float = 0.05):
+    """Adversarial-skew transform of the benign corpus (in place):
+
+    * appends one exact-duplicate group of ``dup_frac``x corpus size --
+      every copy of row 0's text under a fresh url on ONE shared host
+      (megahost.example.com): a single row-hash Window partition with
+      ~53k rows at the 529k row, and a host block 800x over the cap;
+    * appends ' skewtok' to just under ``hot_token_frac`` of the FINAL
+      row count of original texts: one token whose df sits directly
+      under the relative cutoff, stress-testing the distinctive-token
+      join + signature aggregation with a near-universal posting list.
+
+    Gold pairs reference only original urls, so pairwise F1 stays
+    comparable to the benign run."""
+    import math
+
+    import pandas as pd
+
+    wpdf = corpus.web_pages
+    n0 = len(wpdf)
+    n_dup = int(n0 * dup_frac)
+    src = wpdf.iloc[0]
+    dup = pd.DataFrame(
+        {
+            "url": [f"https://megahost.example.com/dup/{i}" for i in range(n_dup)],
+            "warc_ts": [src["warc_ts"]] * n_dup,
+            "html": [src["html"]] * n_dup,
+            "text": [src["text"]] * n_dup,
+            "lang": [src["lang"]] * n_dup,
+            "entity_id": [src["entity_id"]] * n_dup,
+            "mention": [src["mention"]] * n_dup,
+        }
+    )
+    n_final = n0 + n_dup
+    cutoff = math.ceil(0.05 * n_final)  # cfg.mention_df_fraction default
+    n_hot = min(n0, cutoff - 100)  # df just UNDER the distinctive cutoff
+    idx = wpdf.index[:n_hot]
+    wpdf.loc[idx, "text"] = wpdf["text"].loc[idx] + " skewtok"
+    # the pipeline re-extracts text from html (use_html=True), so the
+    # token must live in the html payload too
+    wpdf.loc[idx, "html"] = wpdf["html"].loc[idx].map(
+        lambda b: b.replace(b"</p>", b" skewtok</p>", 1)
+    )
+    corpus.web_pages = pd.concat([wpdf, dup], ignore_index=True)
+    return {"n_dup_group": n_dup, "n_hot_token_rows": n_hot, "cutoff": cutoff}
+
+
 def main() -> None:
-    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 13230
-    pages = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    filler_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+    args = [a for a in sys.argv[1:]]
+    skew = "--skew" in args
+    if skew:
+        args.remove("--skew")
+    n_entities = int(args[0]) if len(args) > 0 else 13230
+    pages = int(args[1]) if len(args) > 1 else 8
+    filler_hi = int(args[2]) if len(args) > 2 else 120
 
     from crocodile_spark.config import PipelineConfig
     from crocodile_spark.datagen import corpus_to_spark, make_corpus
@@ -80,6 +188,7 @@ def main() -> None:
         seed=42,
         filler_range=(max(2, filler_hi // 3), filler_hi),
     )
+    skew_info = plant_skew(corpus) if skew else None
     wp, kb, gold = corpus_to_spark(spark, corpus)
     wp = wp.repartition(parts).persist()
     n_records = wp.count()
@@ -161,6 +270,9 @@ def main() -> None:
         "shuffle_partitions": parts,
         "load_avg_1m": os.getloadavg()[0],
     }
+    report["stragglers"] = task_straggler_stats(spark)
+    if skew_info is not None:
+        report["skew"] = skew_info
     for k in ("cold", "warm", "hot_cached"):
         print(f"{k}: {report[k]}", file=sys.stderr)
     print(json.dumps(report))
