@@ -87,7 +87,11 @@ class IncrementalOutput:
         (gate + bench in one SparkSession) must call it after the
         clusters frame is materialized, or cached union-signature blocks
         accumulate across invocations."""
-        for df in (self.delta_records, self.signatures, self.pairs, self.scored):
+        frames = [self.delta_records, self.signatures, self.pairs, self.scored]
+        # state-path aux frames (incremental_signatures persists the
+        # affected-url set + rebuilt slice and rides them on the union)
+        frames.extend(getattr(self.signatures, "_inc_persisted", ()))
+        for df in frames:
             if df is not None:
                 try:
                     df.unpersist()
@@ -193,7 +197,8 @@ def incremental_signatures(
         .join(ranks, "token", "semi")
         .select("url")
     )
-    affected_urls = flip_urls.union(rank_urls).distinct()
+    affected_urls = flip_urls.union(rank_urls).distinct().persist()
+    affected_urls.count()
     affected_old = existing_records.select(*delta.columns).join(
         affected_urls, "url", "semi"
     )
@@ -203,13 +208,24 @@ def incremental_signatures(
     )
     rare = merged.where(F.col("df") <= F.lit(c_new)).select("token", "df")
     dist = tok.join(rare, "token", "inner").select("url", "token", "df")
-    rebuilt = signatures_from_distinctive(rebuild, dist, cfg)
+    rebuilt = signatures_from_distinctive(rebuild, dist, cfg).persist()
+    rebuilt.count()
 
     sig_cols = rebuilt.columns
     kept = existing_signatures.select(*sig_cols).join(
         affected_urls, "url", "left_anti"
     )
-    return kept.unionByName(rebuilt)
+    # Only the DELTA-SCALE pieces are materialized (affected_urls: a tiny
+    # url set; rebuilt: delta + affected rows). The union is returned
+    # LAZY: every downstream consumer then re-derives it as (cached
+    # stored-signature scan, broadcast anti-join on affected_urls) plus a
+    # cached rebuilt scan -- re-materializing all N union rows into a new
+    # cache block (the r6-draft behavior) cost ~22 s at 529k for data
+    # that already sits in the stored cache. The persisted pieces ride on
+    # the returned frame for IncrementalOutput.unpersist().
+    out = kept.unionByName(rebuilt)
+    out._inc_persisted = (affected_urls, rebuilt)
+    return out
 
 
 def delta_pairs(
@@ -239,11 +255,21 @@ def delta_pairs(
         keys = blocking_keys(sigs, cfg)
     else:
         delta_sigs = sigs.join(new_urls, "url", "semi")
+        delta_static = static_keys(delta_sigs, cfg)
         keys = (
             token_keys(sigs)
             .union(existing_static_keys.select("url", "key"))
-            .union(static_keys(delta_sigs, cfg))
+            .union(delta_static)
         )
+        # NOT restricted to delta-held keys: pre-filtering the key
+        # universe by a semi-join on the delta key set (an equivalent
+        # law -- kept keys retain complete member sets, so cap counts
+        # are identical) was A/B-measured at 529k/5% (2x2 alternating)
+        # and lost on means (pairs stage 107/129 s restricted vs
+        # 56/115 s not, heavy host-noise overlap): deriving the delta
+        # key set costs two extra full-union signature scans, which at
+        # best cancels the cap-shuffle reduction. Dropped for plan
+        # simplicity. See BENCH.md round 6.
     capped = cap_blocks(keys, cfg)
     new_keys = capped.join(new_urls, "url", "semi")
     cand = (
@@ -392,10 +418,14 @@ def incremental_er(
     if sigs is None:
         union_records = existing_records.select(*delta.columns).unionByName(delta)
         sigs = mention_signatures(union_records, cfg)
+    # eager (BOTH paths): delta_pairs + score scan sigs ~7x between them
+    # (key families, dup stars, two feature joins); populating the cache
+    # first prevents per-branch lineage recompute (see pipeline.py
+    # non-checkpoint path, r6). Measured at 529k/5%: leaving the
+    # state-path union LAZY (each consumer re-deriving the kept-side
+    # anti-join from the stored cache) costs 220 s vs 98 s with one
+    # eager 22 s materialization -- consumer count beats per-scan cost.
     sigs = sigs.persist()
-    # eager: delta_pairs scans sigs ~4x in one job (key families + dup
-    # stars); populating the cache first prevents per-branch lineage
-    # recompute (see pipeline.py non-checkpoint path, r6)
     sigs.count()
 
     pairs = delta_pairs(sigs, new_urls, cfg, existing_static_keys).persist()

