@@ -81,12 +81,15 @@ class IncrementalOutput:
 
     def unpersist(self) -> None:
         """Release the frames :func:`incremental_er` persisted (delta,
-        signatures, pairs, scored). Lifetime contract (ADVICE r5): the
-        persists live until the caller either calls this or stops the
-        session -- a long-lived session invoking the operator repeatedly
-        (gate + bench in one SparkSession) must call it after the
-        clusters frame is materialized, or cached union-signature blocks
-        accumulate across invocations."""
+        signatures). Lifetime contract (ADVICE r5): the persists live
+        until the caller either calls this or stops the session -- a
+        long-lived session invoking the operator repeatedly (gate +
+        bench in one SparkSession) must call it after the clusters frame
+        is materialized, or cached union-signature blocks accumulate
+        across invocations. ``pairs``/``scored`` are localCheckpointed
+        (r6, plan-depth control), so unpersist() is a no-op on them;
+        their blocks are freed by the ContextCleaner once the output
+        object is garbage-collected."""
         frames = [self.delta_records, self.signatures, self.pairs, self.scored]
         # state-path aux frames (incremental_signatures persists the
         # affected-url set + rebuilt slice and rides them on the union)
@@ -261,15 +264,44 @@ def delta_pairs(
             .union(existing_static_keys.select("url", "key"))
             .union(delta_static)
         )
-        # NOT restricted to delta-held keys: pre-filtering the key
-        # universe by a semi-join on the delta key set (an equivalent
-        # law -- kept keys retain complete member sets, so cap counts
-        # are identical) was A/B-measured at 529k/5% (2x2 alternating)
-        # and lost on means (pairs stage 107/129 s restricted vs
-        # 56/115 s not, heavy host-noise overlap): deriving the delta
-        # key set costs two extra full-union signature scans, which at
-        # best cancels the cap-shuffle reduction. Dropped for plan
-        # simplicity. See BENCH.md round 6.
+        # Restrict the key universe to DELTA-HELD keys before capping.
+        # Equivalent law: a pair requires a key held by a new record
+        # (new_keys below), and the semi join keeps every member row of
+        # each kept key, so per-key cap counts are identical -- the only
+        # rows dropped belong to keys that could never produce a pair.
+        # The cap groupBy then shuffles members of delta-held keys
+        # (pair-fraction scale) instead of the full O(N x keys/record)
+        # universe. The delta key set is delta-scale and broadcasts.
+        # (An r6-draft A/B under heavy host noise was inconclusive; the
+        # quiet per-phase probes showed the unrestricted cap shuffle at
+        # ~15 s of a 40 s pairs stage at 529k/5% -- see BENCH.md r6.)
+        # localCheckpoint (eager): the key list is delta-scale, but its
+        # PLAN embeds the MinHash band-key expression forest; the cap and
+        # pair joins below replicate their input subtree 4x during
+        # planning, and with the un-truncated delta_keys tree inside, the
+        # duplicated expression forest OOMed the driver while merely
+        # FORMATTING the plan string. Checkpointing collapses it to a
+        # scan leaf (the same trick clustering.py uses per CC round).
+        delta_keys = (
+            token_keys(delta_sigs)
+            .select("key")
+            .union(delta_static.select("key"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Broadcast the (checkpointed, already-materialized) key set when
+        # it is hash-table-sized: the semi join then FILTERS the key
+        # universe during the scan with no shuffle at all, which is the
+        # whole point -- a sort-merge semi would shuffle the full
+        # O(N x keys/record) universe once more and cost more than the
+        # cap shuffle it saves (measured: pairs stage 40 s unrestricted
+        # vs 96 s restricted-SMJ at 529k/5%). Past the gate (huge
+        # deltas), fall back to the shuffle semi, where the cap saving
+        # still applies. count() on the checkpointed frame is metadata
+        # cheap.
+        if delta_keys.count() <= 2_000_000:
+            delta_keys = F.broadcast(delta_keys)
+        keys = keys.join(delta_keys, "key", "semi")
     capped = cap_blocks(keys, cfg)
     new_keys = capped.join(new_urls, "url", "semi")
     cand = (
@@ -317,10 +349,22 @@ def merge_clusters(
     per TOUCHED old cluster plus the connected new records; everything
     else is carried over unchanged by the left joins below.
     """
-    rep_a = existing_clusters.select(
+    # Filter the representative table to edge ENDPOINTS before the rep
+    # joins: a right-side row whose url appears in no edge never matches,
+    # so the left-join results are identical, but the two joins move the
+    # endpoint subset (delta-edge scale) instead of shuffling the full
+    # (url, cluster_id) assignment twice -- at 529k/5% those two corpus
+    # shuffles dominated the merge stage.
+    endpoints = (
+        new_edges.select(F.col("url_a").alias("url"))
+        .union(new_edges.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    touched_reps = existing_clusters.join(endpoints, "url", "semi")
+    rep_a = touched_reps.select(
         F.col("url").alias("url_a"), F.col("cluster_id").alias("rep_a")
     )
-    rep_b = existing_clusters.select(
+    rep_b = touched_reps.select(
         F.col("url").alias("url_b"), F.col("cluster_id").alias("rep_b")
     )
     contracted = (
@@ -394,9 +438,14 @@ def incremental_er(
     # emit the url from both the old and new assignment below). First
     # version wins -- re-crawl UPDATES are an upsert into the records
     # table (J2 merge law), out of this operator's scope.
-    delta = delta.join(
-        existing_records.select("url"), "url", "left_anti"
-    ).persist()
+    # The anti-join build side is CORPUS-scale, so broadcast only under a
+    # known bound (state path passes existing_n_records); past it, the
+    # shuffle anti-join stands in for what a 10^12-doc deployment would
+    # do with a bloom-filter pre-pass + exact check on hits.
+    guard = existing_records.select("url")
+    if existing_n_records is not None and existing_n_records <= 5_000_000:
+        guard = F.broadcast(guard)
+    delta = delta.join(guard, "url", "left_anti").persist()
     n_delta = delta.count()
     new_urls = delta.select("url")
 
@@ -428,8 +477,48 @@ def incremental_er(
     sigs = sigs.persist()
     sigs.count()
 
-    pairs = delta_pairs(sigs, new_urls, cfg, existing_static_keys).persist()
-    scored = score(pairs, sigs, cfg).persist()
+    # localCheckpoint (eager), NOT persist+count: the touched-url
+    # restriction below and the scored consumers (endpoint set + two rep
+    # joins in merge_clusters) reference these frames several times each.
+    # A persist only swaps the subtree at PHYSICAL planning -- Catalyst
+    # still re-ANALYZES every duplicated copy of the logical tree on each
+    # action, and the pair tree embeds the MinHash band-key expression
+    # forest 4-6x (cap + pair self-join planning), so the multiplied
+    # analysis alone cost ~50 s per call at ANY data scale. Checkpointing
+    # collapses the logical plan to a scan leaf. The blocks live until
+    # the ContextCleaner GCs the RDD (unpersist() is a no-op on them);
+    # pairs/scored are thin rows, so losing columnar-cache column
+    # pruning costs nothing.
+    # Execute WITH AQE via persist+count (checkpointing the raw plan
+    # would materialize through the RDD path, losing runtime broadcast
+    # conversion and skew splitting on the pair-generation join --
+    # measured ~2x slower at 529k), then collapse the logical plan to a
+    # leaf by checkpointing the CACHED rows (a cheap cache scan), and
+    # release the interim cache.
+    pairs_cached = delta_pairs(sigs, new_urls, cfg, existing_static_keys).persist()
+    pairs_cached.count()
+    pairs = pairs_cached.localCheckpoint(eager=True)
+    pairs_cached.unpersist()
+    # Restrict the feature-join signature side to PAIR-TOUCHED urls: the
+    # two per-side joins in attach_pair_features are inner, so rows for
+    # untouched urls never contribute and the output is identical -- but
+    # the join now shuffles the touched subset (pair-fraction scale, ~1/3
+    # of rows at 529k/5%) instead of the full signature table twice,
+    # which the quiet per-phase probes showed dominating the score stage.
+    touched_urls = (
+        pairs.select(F.col("url_a").alias("url"))
+        .union(pairs.select(F.col("url_b").alias("url")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # same gated broadcast as the delta-key restriction: scan-filter the
+    # cached signature table instead of shuffling it
+    if touched_urls.count() <= 2_000_000:
+        touched_urls = F.broadcast(touched_urls)
+    scored_cached = score(pairs, sigs.join(touched_urls, "url", "semi"), cfg).persist()
+    scored_cached.count()
+    scored = scored_cached.localCheckpoint(eager=True)
+    scored_cached.unpersist()
     new_edges = scored.where(F.col("is_edge")).select("url_a", "url_b")
 
     clusters = merge_clusters(
