@@ -133,8 +133,11 @@ def incremental_signatures(
         Under a stable DF profile these are tokens near the two
         boundaries -- a small set, collected driver-side (bounded by
         ``changed_collect_cap``, fallback to full recompute past it) and
-        applied as a narrow ``arrays_overlap`` literal over the old
-        records (a broadcast bloom filter at 10^12 docs).
+        applied as a broadcast semi join against the old records'
+        exploded tokens (a broadcast bloom filter at 10^12 docs). The
+        collect exists ONLY for the cap/fallback decision -- the
+        membership test is a hash probe, never an N-element expression
+        literal in the plan.
       * RANK tokens -- distinctive on both sides, df changed, no flip.
         Because df never decreases, such a token can only move LATER in
         the (df, token) rarity order: it can fall OUT of a kept set but
@@ -187,10 +190,19 @@ def incremental_signatures(
     flip_rows = [r["token"] for r in flips.limit(changed_collect_cap + 1).collect()]
     if len(flip_rows) > changed_collect_cap:
         return None
-    flip_lit = F.array(*[F.lit(t) for t in flip_rows]).cast("array<string>")
-
-    flip_urls = existing_records.select("url").where(
-        F.arrays_overlap(F.col("tokens"), flip_lit)
+    # Broadcast semi join, NOT an up-to-20k-element F.array literal +
+    # per-row arrays_overlap: the literal form embeds the flip set in the
+    # expression tree (the plan-size pathology this file already fought
+    # twice) and costs O(|tokens| x |flips|) per old record; the exploded
+    # hash probe is O(|tokens|) and swaps cleanly for a bloom filter at
+    # 10^12 records.
+    flip_df = flips.sparkSession.createDataFrame(
+        [(t,) for t in flip_rows], "token string"
+    )
+    flip_urls = (
+        existing_records.select("url", F.explode("tokens").alias("token"))
+        .join(F.broadcast(flip_df), "token", "semi")
+        .select("url")
     )
     rank_urls = (
         existing_signatures.where(

@@ -132,23 +132,30 @@ class StreamingEntityResolution:
     the full resolution state across micro-batches.
 
     State layout under ``state_dir`` -- the parquet emulation of Iceberg
-    snapshot commits (SURVEY 1.4):
+    snapshot commits (SURVEY 1.4). Every write is keyed by the stream's
+    ``batch_id`` and performed with ``mode("overwrite")``, which makes the
+    whole commit IDEMPOTENT under foreachBatch's at-least-once contract:
 
-      records/            append-only normalized records (delta appends
-                          touch only new files; concurrent readers of old
-                          files are never invalidated)
-      static_keys/        append-only stored host+MinHash (url, key) rows
-      clusters_v{N}/      versioned snapshots -- each batch writes a NEW
-      signatures_v{N}/    directory and then flips meta.json (tmp+rename,
-      token_df_v{N}/      the atomic commit), so the lazy reads feeding
-                          batch N+1 never race the overwrite
-      meta.json           {"version": N, "n_records": ...}
+      records/batch_{B}/     staged per-batch normalized records; the
+      static_keys/batch_{B}/ stored corpus is the union of the COMMITTED
+                             batch dirs listed in meta.json -- an orphan
+                             dir from a failed attempt is never read and
+                             is overwritten on replay
+      clusters_b{B}/         versioned snapshots, one per batch -- a
+      signatures_b{B}/       replayed batch overwrites its own dirs, so a
+      token_df_b{B}/         partial failure before the meta flip leaves
+                             no state a committed snapshot can see
+      meta.json              {"last_batch_id": B, "n_records": ...,
+                             "batches": [committed batch ids]} -- flipped
+                             last via tmp+rename (the atomic commit); a
+                             replay of an already-committed batch_id is a
+                             no-op
 
     Batch 0 bootstraps with the full batch pipeline; every later batch is
     resolved by the O(delta) stored-state path (incremental_signatures:
     merged token-DF, delta-scoped rebuild). The partition-equivalence law
-    (streamed batches == one-shot batch resolution) is pytest-gated in
-    test_streaming.py.
+    (streamed batches == one-shot batch resolution) and the replay /
+    orphan-dir idempotency laws are pytest-gated in test_streaming.py.
     """
 
     def __init__(
@@ -196,6 +203,12 @@ class StreamingEntityResolution:
 
         return os.path.join(self.state_dir, name)
 
+    def _batch_paths(self, name: str, meta: dict) -> list[str]:
+        """Paths of the COMMITTED per-batch staging dirs: the stored corpus
+        is assembled from meta.json's manifest (the Iceberg-manifest move),
+        so orphan dirs left by a failed attempt are invisible to readers."""
+        return [self._p(f"{name}/batch_{b}") for b in meta["batches"]]
+
     # -- the foreachBatch callback ----------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -208,29 +221,39 @@ class StreamingEntityResolution:
 
         spark, cfg = self.spark, self.cfg
         meta = self._read_meta()
+        if meta is not None and batch_id <= meta["last_batch_id"]:
+            # at-least-once replay of an already-committed batch: no-op
+            return
         if meta is None:
             out = run_pipeline(spark, batch_df, cfg, use_html=self.use_html)
             n = out.records.count()
-            v = 0
-            out.records.write.mode("append").parquet(self._p("records"))
-            static_keys(out.signatures, cfg).write.mode("append").parquet(
-                self._p("static_keys")
+            out.records.write.mode("overwrite").parquet(
+                self._p(f"records/batch_{batch_id}")
             )
-            out.signatures.write.parquet(self._p(f"signatures_v{v}"))
-            out.clusters.write.parquet(self._p(f"clusters_v{v}"))
-            token_document_frequencies(out.records, cfg).write.parquet(
-                self._p(f"token_df_v{v}")
+            static_keys(out.signatures, cfg).write.mode("overwrite").parquet(
+                self._p(f"static_keys/batch_{batch_id}")
             )
-            self._commit_meta({"version": v, "n_records": n})
+            out.signatures.write.mode("overwrite").parquet(
+                self._p(f"signatures_b{batch_id}")
+            )
+            out.clusters.write.mode("overwrite").parquet(
+                self._p(f"clusters_b{batch_id}")
+            )
+            token_document_frequencies(out.records, cfg).write.mode(
+                "overwrite"
+            ).parquet(self._p(f"token_df_b{batch_id}"))
+            self._commit_meta(
+                {"last_batch_id": batch_id, "n_records": n,
+                 "batches": [batch_id]}
+            )
             return
 
-        v_old = meta["version"]
-        v = v_old + 1
-        records = spark.read.parquet(self._p("records"))
-        keys = spark.read.parquet(self._p("static_keys"))
-        sigs = spark.read.parquet(self._p(f"signatures_v{v_old}"))
-        clusters = spark.read.parquet(self._p(f"clusters_v{v_old}"))
-        token_df = spark.read.parquet(self._p(f"token_df_v{v_old}"))
+        b_old = meta["last_batch_id"]
+        records = spark.read.parquet(*self._batch_paths("records", meta))
+        keys = spark.read.parquet(*self._batch_paths("static_keys", meta))
+        sigs = spark.read.parquet(self._p(f"signatures_b{b_old}"))
+        clusters = spark.read.parquet(self._p(f"clusters_b{b_old}"))
+        token_df = spark.read.parquet(self._p(f"token_df_b{b_old}"))
 
         inc = incremental_er(
             spark,
@@ -264,22 +287,37 @@ class StreamingEntityResolution:
             inc.delta_records.select("url"), "url", "semi"
         )
 
-        # versioned snapshots first, then appends, then the meta flip
-        inc.signatures.write.parquet(self._p(f"signatures_v{v}"))
-        inc.clusters.write.parquet(self._p(f"clusters_v{v}"))
-        merged.write.parquet(self._p(f"token_df_v{v}"))
-        inc.delta_records.write.mode("append").parquet(self._p("records"))
-        static_keys(delta_sigs, cfg).write.mode("append").parquet(
-            self._p("static_keys")
+        # every write is batch-keyed + overwrite (replay-safe); the meta
+        # flip is last, so an attempt that dies anywhere above leaves only
+        # orphan dirs that the manifest never reads and the replay
+        # overwrites
+        inc.signatures.write.mode("overwrite").parquet(
+            self._p(f"signatures_b{batch_id}")
         )
-        self._commit_meta({"version": v, "n_records": meta["n_records"] + n_delta})
+        inc.clusters.write.mode("overwrite").parquet(
+            self._p(f"clusters_b{batch_id}")
+        )
+        merged.write.mode("overwrite").parquet(self._p(f"token_df_b{batch_id}"))
+        inc.delta_records.write.mode("overwrite").parquet(
+            self._p(f"records/batch_{batch_id}")
+        )
+        static_keys(delta_sigs, cfg).write.mode("overwrite").parquet(
+            self._p(f"static_keys/batch_{batch_id}")
+        )
+        self._commit_meta(
+            {
+                "last_batch_id": batch_id,
+                "n_records": meta["n_records"] + n_delta,
+                "batches": meta["batches"] + [batch_id],
+            }
+        )
         inc.unpersist()
 
     def clusters(self) -> DataFrame:
         """Current (url, cluster_id) snapshot."""
         meta = self._read_meta()
         return self.spark.read.parquet(
-            self._p(f"clusters_v{meta['version']}")
+            self._p(f"clusters_b{meta['last_batch_id']}")
         )
 
     def run_stream(self, input_dir: str, checkpoint_dir: str):

@@ -260,6 +260,10 @@ def test_incremental_signatures_byte_identical_to_full(spark):
         base, base_sigs, token_df, n_old, delta, delta.count(), cfg
     )
     assert inc_sigs is not None
+    # flip membership is a broadcast semi join, never an embedded
+    # array-literal + arrays_overlap scan (plan-size pathology)
+    plan = inc_sigs._jdf.queryExecution().analyzed().toString()
+    assert "arrays_overlap" not in plan
     union = base.select(*delta.columns).unionByName(delta)
     full_sigs = mention_signatures(union, cfg)
     assert _sig_rows(inc_sigs) == _sig_rows(full_sigs)

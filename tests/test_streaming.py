@@ -163,9 +163,89 @@ def test_streaming_incremental_er_matches_batch(spark, tmp_path):
     import json
 
     meta = json.load(open(str(tmp_path / "state" / "meta.json")))
-    assert meta["version"] == 2, meta  # three micro-batches really ran
+    assert meta["last_batch_id"] == 2, meta  # three micro-batches really ran
+    assert meta["batches"] == [0, 1, 2]
     assert meta["n_records"] == wp.count()
 
+    batch_out = run_pipeline(spark, wp, cfg, use_html=True)
+
+    def partition(cl):
+        by = {}
+        for r in cl.select("url", "cluster_id").collect():
+            by.setdefault(r["cluster_id"], set()).add(r["url"])
+        return {frozenset(v) for v in by.values()}
+
+    assert partition(res.clusters()) == partition(batch_out.clusters)
+
+
+def test_streaming_er_commit_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once (r6 ADVICE): a replay of an
+    already-committed batch_id must be a no-op, and an orphan staging dir
+    left by a failed attempt (written before the meta flip) must be
+    invisible to readers and healed by the replay's overwrite."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.datagen import corpus_to_spark, make_corpus
+    from crocodile_spark.pipeline import run_pipeline
+    from crocodile_spark.streaming.incremental import StreamingEntityResolution
+
+    wp, _, _ = corpus_to_spark(
+        spark, make_corpus(n_entities=50, pages_per_entity=6, seed=77)
+    )
+    wp = wp.select("url", "warc_ts", "html", "text", "lang").cache()
+    bucket = F.pmod(F.xxhash64("url"), F.lit(5))
+    base_df = wp.where(bucket <= 3)
+    delta_df = wp.where(bucket == 4).cache()
+
+    cfg = PipelineConfig(shuffle_partitions=8)
+    res = StreamingEntityResolution(
+        spark, str(tmp_path / "state"), cfg, use_html=True
+    )
+    res.process_batch(base_df, 0)
+
+    # simulate a FAILED first attempt at batch 1: staging rows were written
+    # (with a poisoned url set that must never leak into the corpus) but
+    # the meta flip never happened
+    poisoned = delta_df.limit(3).withColumn(
+        "url", F.concat(F.lit("http://orphan.example/"), F.col("url"))
+    )
+    from crocodile_spark.pipeline import run_pipeline as _rp
+
+    orphan = _rp(spark, poisoned, cfg, use_html=True)
+    orphan.records.write.mode("overwrite").parquet(
+        str(tmp_path / "state" / "records" / "batch_1")
+    )
+    meta_before = json.load(open(str(tmp_path / "state" / "meta.json")))
+    assert meta_before["batches"] == [0]  # orphan not committed
+
+    # the at-least-once replay: same batch_id, full delta
+    res.process_batch(delta_df, 1)
+    meta = json.load(open(str(tmp_path / "state" / "meta.json")))
+    assert meta["batches"] == [0, 1]
+    assert meta["n_records"] == wp.count()
+    stored = spark.read.parquet(
+        str(tmp_path / "state" / "records" / "batch_0"),
+        str(tmp_path / "state" / "records" / "batch_1"),
+    )
+    assert stored.where(F.col("url").contains("orphan.example")).count() == 0
+    assert stored.count() == wp.count()  # no divergence: every url stored
+
+    # a second delivery of the committed batch is a no-op
+    clusters_before = sorted(
+        (r["url"], r["cluster_id"]) for r in res.clusters().collect()
+    )
+    res.process_batch(delta_df, 1)
+    meta2 = json.load(open(str(tmp_path / "state" / "meta.json")))
+    assert meta2 == meta
+    clusters_after = sorted(
+        (r["url"], r["cluster_id"]) for r in res.clusters().collect()
+    )
+    assert clusters_after == clusters_before
+
+    # and the healed state still matches the one-shot batch partition
     batch_out = run_pipeline(spark, wp, cfg, use_html=True)
 
     def partition(cl):
