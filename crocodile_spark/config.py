@@ -41,6 +41,13 @@ class PipelineConfig:
     # distinctive tokens (ties broken by token text -- deterministic), so
     # signature width is O(k) regardless of corpus size
     sig_max_tokens: int = 12
+    # per-record tok: blocking-key budget, DECOUPLED from sig_max_tokens
+    # (ADVICE r5/r6): block_tokens is the block_max_tokens rarest among
+    # ALL block-eligible distinctive tokens (df <= max_block_size), not
+    # the eligible subset of the k-rarest signature slice -- a shared
+    # token outranked by 12 unshared rarer fillers on both sides no
+    # longer silently loses the pair. Width stays bounded per record.
+    block_max_tokens: int = 48
     # EL fuzzy-retry (T5) skew guard: a KB name token indexing more than
     # this many entries is dropped from the token block key -- it cannot
     # discriminate within candidate_retrieval_limit and only inflates the
@@ -65,6 +72,12 @@ class PipelineConfig:
 
     # ---- execution ----
     shuffle_partitions: int = 32
+    # byte budget for FORCED broadcasts on the incremental delta path
+    # (r6 ADVICE): row-count gates say nothing about bytes -- a 2M-row
+    # url set at 300B/url is ~600MB in the driver. Gates estimate
+    # rows x (2 x sampled avg strlen + 48B row overhead) and fall back
+    # to the shuffle join past this budget.
+    broadcast_bytes_cap: int = 128 * 1024 * 1024
     checkpoint_dir: str | None = None       # lakehouse root; None = in-memory only
     resume_buckets: int = 4                 # mid-stage resume granularity (Q1/Q2
                                             # claim-batch analog; SURVEY 7.5)

@@ -175,20 +175,19 @@ def mention_signatures(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
     no window shuffle; per-record state is bounded by the record's own
     token count.
 
-    ``block_tokens`` (the subset with DF <= max_block_size, computed in
-    the same aggregation -- zero extra shuffle) is what the ``tok:``
-    blocking-key family keys on: at 10^12 docs a DF-10^9 token under the
-    relative cutoff would shuffle 10^9 (url, key) rows only to be capped.
-    The df pre-filter is deliberately slightly CONSERVATIVE vs cap_blocks,
-    which caps on post-truncation block MEMBERSHIP: a df > cap token whose
-    holders mostly truncate it out of their k-rarest could form a
-    sub-cap block that cap_blocks would have kept. Records whose only
-    shared evidence is such a token then rely on the host/MinHash
-    families -- an accepted, bounded recall tradeoff (F1 unchanged at
-    every tested scale, 50k-1M) in exchange for never shuffling
-    unboundedly hot keys. Scoring still sees the full ``sig_tokens``
-    (the 529k F1 lesson: the block cap must never silence scoring
-    evidence)."""
+    ``block_tokens`` (computed in the same aggregation -- zero extra
+    shuffle) is what the ``tok:`` blocking-key family keys on: the
+    ``block_max_tokens`` RAREST among all block-eligible distinctive
+    tokens (df <= max_block_size). The budget is DECOUPLED from
+    ``sig_max_tokens`` (ADVICE r5/r6): under the old eligible-subset-of-
+    k-rarest law, a shared token outranked by k unshared rarer tokens on
+    BOTH records silently lost the pair unless host/MinHash compensated.
+    At 10^12 docs the df pre-filter still keeps unboundedly hot keys out
+    of the shuffle (a DF-10^9 token would shuffle 10^9 (url, key) rows
+    only to be capped), deliberately slightly CONSERVATIVE vs cap_blocks,
+    which caps on block MEMBERSHIP. Scoring still sees the full
+    ``sig_tokens`` (the 529k F1 lesson: the block cap must never silence
+    scoring evidence)."""
     return signatures_from_distinctive(records, distinctive_tokens(records, cfg), cfg)
 
 
@@ -216,9 +215,13 @@ def signatures_from_distinctive(
             ).alias("sig_tokens"),
             F.array_sort(
                 F.transform(
-                    F.filter(
-                        F.slice("_by_rarity", 1, cfg.sig_max_tokens),
-                        lambda s: s["df"] <= F.lit(cfg.max_block_size),
+                    F.slice(
+                        F.filter(
+                            "_by_rarity",
+                            lambda s: s["df"] <= F.lit(cfg.max_block_size),
+                        ),
+                        1,
+                        cfg.block_max_tokens,
                     ),
                     lambda s: s["token"],
                 )

@@ -102,6 +102,26 @@ class IncrementalOutput:
                     pass
 
 
+def broadcast_if_small(
+    df: DataFrame, col: str, n_rows: int, cfg: PipelineConfig
+) -> DataFrame:
+    """Byte-budget broadcast gate (ADVICE r6): a row count says nothing
+    about bytes -- urls can run hundreds of characters, and a forced
+    broadcast past the driver's budget OOMs where the shuffle join would
+    merely be slower. Estimate ``rows x (2 x avg strlen + 48B row
+    overhead)`` with the average sampled from the first 10k rows (the
+    frames gated here are checkpointed/cached, so the probe is a cheap
+    cache scan) and force the broadcast only under
+    ``cfg.broadcast_bytes_cap``."""
+    if n_rows <= 0:
+        return F.broadcast(df)
+    if n_rows * 48.0 > cfg.broadcast_bytes_cap:
+        return df  # over budget at zero-length strings: skip the probe
+    row = df.limit(10_000).select(F.avg(F.length(F.col(col))).alias("l")).first()
+    est = n_rows * (2.0 * float(row["l"] or 0.0) + 48.0)
+    return F.broadcast(df) if est <= cfg.broadcast_bytes_cap else df
+
+
 def incremental_signatures(
     existing_records: DataFrame,
     existing_signatures: DataFrame,
@@ -141,11 +161,13 @@ def incremental_signatures(
       * RANK tokens -- distinctive on both sides, df changed, no flip.
         Because df never decreases, such a token can only move LATER in
         the (df, token) rarity order: it can fall OUT of a kept set but
-        never enter one. So it affects exactly the records where the
-        k-rarest truncation is active (stored ``size(sig_tokens) == k``)
-        AND the token is currently IN the kept set. Those records are
-        found by a JOIN of the stored signatures' exploded sig_tokens
-        against the rank-token set -- no driver collect, no literal, and
+        never enter one. So it affects exactly the records where a
+        k-rarest truncation is active (stored ``size(sig_tokens) == k``
+        for the signature budget, ``size(block_tokens) ==
+        block_max_tokens`` for the decoupled blocking budget) AND the
+        token is currently IN that kept set. Those records are found by
+        a JOIN of the stored signatures' exploded kept sets against the
+        rank-token set -- no driver collect, no literal, and
         on corpora where few records exceed k distinctive tokens the
         affected set is ~empty even when millions of dfs moved.
 
@@ -204,6 +226,11 @@ def incremental_signatures(
         .join(F.broadcast(flip_df), "token", "semi")
         .select("url")
     )
+    # A rank token affects a record only where a k-rarest truncation is
+    # ACTIVE and the token currently sits in the kept set (df only grows,
+    # so it can fall OUT but never enter). sig_tokens and block_tokens are
+    # truncated under separate budgets since block_max_tokens was
+    # decoupled (ADVICE r5/r6), so both kept sets are probed.
     rank_urls = (
         existing_signatures.where(
             F.size("sig_tokens") >= F.lit(cfg.sig_max_tokens)
@@ -211,6 +238,14 @@ def incremental_signatures(
         .select("url", F.explode("sig_tokens").alias("token"))
         .join(ranks, "token", "semi")
         .select("url")
+        .union(
+            existing_signatures.where(
+                F.size("block_tokens") >= F.lit(cfg.block_max_tokens)
+            )
+            .select("url", F.explode("block_tokens").alias("token"))
+            .join(ranks, "token", "semi")
+            .select("url")
+        )
     )
     affected_urls = flip_urls.union(rank_urls).distinct().persist()
     affected_urls.count()
@@ -307,12 +342,11 @@ def delta_pairs(
         # whole point -- a sort-merge semi would shuffle the full
         # O(N x keys/record) universe once more and cost more than the
         # cap shuffle it saves (measured: pairs stage 40 s unrestricted
-        # vs 96 s restricted-SMJ at 529k/5%). Past the gate (huge
+        # vs 96 s restricted-SMJ at 529k/5%). Past the byte gate (huge
         # deltas), fall back to the shuffle semi, where the cap saving
         # still applies. count() on the checkpointed frame is metadata
         # cheap.
-        if delta_keys.count() <= 2_000_000:
-            delta_keys = F.broadcast(delta_keys)
+        delta_keys = broadcast_if_small(delta_keys, "key", delta_keys.count(), cfg)
         keys = keys.join(delta_keys, "key", "semi")
     capped = cap_blocks(keys, cfg)
     new_keys = capped.join(new_urls, "url", "semi")
@@ -451,12 +485,13 @@ def incremental_er(
     # version wins -- re-crawl UPDATES are an upsert into the records
     # table (J2 merge law), out of this operator's scope.
     # The anti-join build side is CORPUS-scale, so broadcast only under a
-    # known bound (state path passes existing_n_records); past it, the
-    # shuffle anti-join stands in for what a 10^12-doc deployment would
-    # do with a bloom-filter pre-pass + exact check on hits.
+    # known byte budget (state path passes existing_n_records; the avg-url
+    # probe scans the cached records); past it, the shuffle anti-join
+    # stands in for what a 10^12-doc deployment would do with a
+    # bloom-filter pre-pass + exact check on hits.
     guard = existing_records.select("url")
-    if existing_n_records is not None and existing_n_records <= 5_000_000:
-        guard = F.broadcast(guard)
+    if existing_n_records is not None:
+        guard = broadcast_if_small(guard, "url", existing_n_records, cfg)
     delta = delta.join(guard, "url", "left_anti").persist()
     n_delta = delta.count()
     new_urls = delta.select("url")
@@ -525,8 +560,9 @@ def incremental_er(
     )
     # same gated broadcast as the delta-key restriction: scan-filter the
     # cached signature table instead of shuffling it
-    if touched_urls.count() <= 2_000_000:
-        touched_urls = F.broadcast(touched_urls)
+    touched_urls = broadcast_if_small(
+        touched_urls, "url", touched_urls.count(), cfg
+    )
     scored_cached = score(pairs, sigs.join(touched_urls, "url", "semi"), cfg).persist()
     scored_cached.count()
     scored = scored_cached.localCheckpoint(eager=True)

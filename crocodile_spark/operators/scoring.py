@@ -86,8 +86,16 @@ def embedding_cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    # size guard: zip_with pads the shorter array with nulls, nulling the
+    # dot product -- without it a length-mismatched pair scores NULL (which
+    # would null the whole heuristic sum) instead of "no evidence" 0.0
     return F.when(
-        a.isNotNull() & b.isNotNull() & (na > 0) & (nb > 0), dot / (na * nb)
+        a.isNotNull()
+        & b.isNotNull()
+        & (F.size(a) == F.size(b))
+        & (na > 0)
+        & (nb > 0),
+        dot / (na * nb),
     ).otherwise(F.lit(0.0))
 
 

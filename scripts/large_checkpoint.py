@@ -136,7 +136,13 @@ def plant_skew(corpus, dup_frac: float = 0.10, hot_token_frac: float = 0.05):
     )
     n_final = n0 + n_dup
     cutoff = math.ceil(0.05 * n_final)  # cfg.mention_df_fraction default
-    n_hot = min(n0, cutoff - 100)  # df just UNDER the distinctive cutoff
+    # df just UNDER the distinctive cutoff; clamped -- a negative value
+    # would slice from the END and stopword nearly the whole corpus
+    n_hot = max(0, min(n0, cutoff - 100))
+    if n_hot == 0:
+        raise SystemExit(
+            f"corpus too small for the skew law: cutoff {cutoff} <= 100"
+        )
     idx = wpdf.index[:n_hot]
     wpdf.loc[idx, "text"] = wpdf["text"].loc[idx] + " skewtok"
     # the pipeline re-extracts text from html (use_html=True), so the

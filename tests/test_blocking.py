@@ -153,22 +153,22 @@ def test_spread_downstream_heavy_overrides_byte_floor(spark, tmp_path):
 
 
 def test_token_rich_records_keep_recall_under_sig_truncation(spark):
-    """ADVICE r5 (blocking.py block_tokens law): a cap-eligible token
-    ranked past sig_max_tokens on a token-rich record stops emitting a
-    tok: key -- the documented k-rarest narrowing. Pin BOTH halves of the
-    contract: (1) the narrowing really happens (entity tokens with df=3
-    are displaced by df=1 fillers when sig_max_tokens < n_fillers), and
-    (2) same-entity pair recall stays 1.0 because the OTHER key families
-    (host here; MinHash for same-text cases) still block the pair. Any
-    future lowering of sig_max_tokens that breaks the compensation shows
-    up here as lost recall, not as a silent F1 dip at 5x scale."""
+    """ADVICE r5/r6 (blocking.py block_tokens law): block_tokens is now
+    budgeted by block_max_tokens over ALL block-eligible distinctive
+    tokens, decoupled from the sig_max_tokens signature slice. Pin BOTH
+    halves: (1) entity tokens displaced from the k=4 signature slice by
+    df=1 fillers STILL emit tok: keys (the old eligible-subset-of-k-rarest
+    law dropped them), and (2) same-entity pair recall is 1.0 via the
+    tok: family itself -- hosts and filler texts differ per page, so
+    neither the host nor the MinHash family can compensate here."""
     rows = []
     for e in range(3):
         ent = f"ent{e}a ent{e}b ent{e}c"  # df=3 each, distinctive (cutoff 3)
         for p in range(3):
             fillers = " ".join(f"u{e}{p}f{j}" for j in range(10))  # df=1 each
             rows.append(
-                (f"http://host{e}.example.com/p{p}", f"{ent} {fillers}")
+                # DIFFERENT host per page: the host family cannot pair them
+                (f"http://h{e}x{p}.example.com/p{p}", f"{ent} {fillers}")
             )
     wp = spark.createDataFrame(rows, ["url", "text"])
     cfg = PipelineConfig(sig_max_tokens=4, shuffle_partitions=4)
@@ -177,17 +177,22 @@ def test_token_rich_records_keep_recall_under_sig_truncation(spark):
 
     sig_rows = sigs.select("url", "sig_tokens", "block_tokens").collect()
     for r in sig_rows:
-        # the narrowing: k-rarest keeps only df=1 fillers, entity tokens out
-        assert len(r["block_tokens"]) <= cfg.sig_max_tokens
-        assert all(t.startswith("u") for t in r["block_tokens"]), r
-    # recall: every same-entity pair still shares a block (host family)
+        # the signature slice still truncates at k=4 (df=1 fillers win)...
+        assert len(r["sig_tokens"]) == cfg.sig_max_tokens
+        assert all(t.startswith("u") for t in r["sig_tokens"]), r
+        # ...but block_tokens keeps every eligible token incl. the shared
+        # entity tokens (13 eligible < block_max_tokens budget)
+        assert len(r["block_tokens"]) == 13, r
+        assert sum(t.startswith("ent") for t in r["block_tokens"]) == 3, r
+    # recall: every same-entity pair shares a tok: block -- the ONLY
+    # family that can produce these pairs on this fixture
     from itertools import combinations
 
     want = {
         tuple(sorted(p))
         for e in range(3)
         for p in combinations(
-            [f"http://host{e}.example.com/p{p}" for p in range(3)], 2
+            [f"http://h{e}x{p}.example.com/p{p}" for p in range(3)], 2
         )
     }
     got = {
@@ -195,3 +200,11 @@ def test_token_rich_records_keep_recall_under_sig_truncation(spark):
         for r in pairs.collect()
     }
     assert want <= got, want - got
+    # and the budget really truncates: past block_max_tokens eligible
+    # tokens the rarest win
+    tight = PipelineConfig(
+        sig_max_tokens=4, block_max_tokens=5, shuffle_partitions=4
+    )
+    sigs2, _ = block(records, tight)
+    for r in sigs2.select("block_tokens").collect():
+        assert len(r["block_tokens"]) == 5

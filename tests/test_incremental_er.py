@@ -337,3 +337,23 @@ def test_incremental_er_with_state_identical_partition(spark, split_corpus):
     assert _partition(inc_state.clusters) == _partition(inc_nostate.clusters)
     inc_nostate.unpersist()
     inc_state.unpersist()
+
+
+def test_broadcast_gate_is_byte_budgeted(spark):
+    """ADVICE r6: forced broadcasts on the delta path are gated by an
+    estimated byte size (rows x avg strlen), not a bare row count -- a
+    row-count gate lets a few million multi-hundred-byte urls OOM the
+    driver."""
+    from crocodile_spark.operators.incremental_er import broadcast_if_small
+
+    df = spark.createDataFrame(
+        [("u" * 300,) for _ in range(50)], "url string"
+    ).localCheckpoint(eager=True)
+    tight = PipelineConfig(broadcast_bytes_cap=10_000)
+    # 50 rows x (2x300 + 48) ~ 32kB > 10kB: falls back to the shuffle join
+    assert broadcast_if_small(df, "url", 50, tight) is df
+    # count-only fast path: 5M rows exceed the cap at zero-length strings,
+    # no probe job needed
+    assert broadcast_if_small(df, "url", 5_000_000, tight) is df
+    roomy = PipelineConfig(broadcast_bytes_cap=128 << 20)
+    assert broadcast_if_small(df, "url", 50, roomy) is not df

@@ -81,6 +81,15 @@ def test_pipeline_f1_with_embedding_feature(spark):
     assert) so every existing oracle is unaffected."""
     from crocodile_spark.datagen import corpus_to_spark, make_corpus
 
+    from crocodile_spark.operators.scoring import EMB_FEATURE, load_trained_weights
+
+    # r7 (VERDICT r6 #4): the TRAINED embedding-variant weights ship with
+    # the repo and are what score() resolves -- not the literal fallback
+    trained = load_trained_weights("emb")
+    assert trained is not None, "logistic_weights_emb.json must ship"
+    emb_w, _ = trained
+    assert EMB_FEATURE in emb_w and emb_w[EMB_FEATURE] != 4.0
+
     wp, kb, gold = corpus_to_spark(
         spark,
         make_corpus(n_entities=40, pages_per_entity=6, seed=123, embedding_dim=16),
