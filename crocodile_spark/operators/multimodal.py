@@ -690,21 +690,23 @@ def encode_bmp(w: int, h: int, bpp: int, body: bytes) -> bytes:
     )
 
 
-def encode_wav(channels: int, rate: int, data: bytes) -> bytes:
-    """Canonical-layout WAV: 12-byte RIFF/WAVE header, 'fmt ' chunk at
-    byte offset 12 (16-byte PCM body), 'data' chunk at byte offset 36,
-    samples from byte 44. CONTRACT (ADVICE r5): the multimodal driver
-    oracle (SQL_MULTIMODAL) reads wFormatTag/nChannels/wBitsPerSample at
-    these canonical offsets by hex arithmetic while the Spark side walks
-    RIFF chunks, so every fixture WAV fed to the GATE must come from this
-    encoder (non-canonical JUNK/LIST layouts are pytest-covered against
-    the chunk walk only -- test_simsearch_text_multimodal). A pinned test
-    asserts this layout invariant."""
-    return (
-        b"RIFF"
-        + struct.pack("<I", 36 + len(data))
-        + b"WAVE"
-        + b"fmt "
+def encode_wav(
+    channels: int, rate: int, data: bytes, junk: bytes | None = None
+) -> bytes:
+    """WAV encoder. Default layout is canonical: 12-byte RIFF/WAVE header,
+    'fmt ' chunk at byte offset 12 (16-byte PCM body), 'data' chunk at
+    byte offset 36, samples from byte 44. With ``junk`` a JUNK chunk is
+    inserted BEFORE 'fmt ' (the layout real tools emit for alignment),
+    shifting every downstream offset -- readable only by a real chunk
+    walk. Since r7 the driver oracle (SQL_MULTIMODAL) performs that walk
+    via a recursive CTE, byte-for-byte the walk_riff_chunks/parse_wav
+    law, so the gate fixture deliberately plants BOTH layouts."""
+    chunks = b""
+    if junk is not None:
+        pad = junk + (b"\x00" if len(junk) % 2 else b"")
+        chunks += b"JUNK" + struct.pack("<I", len(junk)) + pad
+    chunks += (
+        b"fmt "
         + struct.pack("<I", 16)
         + struct.pack("<HH", 1, channels)
         + struct.pack("<I", rate)
@@ -714,6 +716,7 @@ def encode_wav(channels: int, rate: int, data: bytes) -> bytes:
         + struct.pack("<I", len(data))
         + data
     )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
@@ -769,7 +772,13 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 mime = "image/bmp"
             rows.append((i, kind, mime, payload, w, h, None))
         elif kind == "audio":
-            payload = encode_wav(rng.choice([1, 2]), 16000, junk)
+            # every third audio row carries a JUNK chunk before 'fmt '
+            # (r7: the oracle's recursive chunk walk is gate-exercised on
+            # non-canonical layouts, not just pytest)
+            wav_junk = bytes(rng.getrandbits(8) for _ in range(20)) \
+                if i % 3 == 0 else None
+            payload = encode_wav(rng.choice([1, 2]), 16000, junk,
+                                 junk=wav_junk)
             rows.append((i, kind, "audio/wav", payload, None, None,
                          rng.randrange(1000, 60000)))
         else:

@@ -1732,14 +1732,37 @@ def _hexbyte_at(expr: str) -> str:
     return f"CAST(('0x'||substr(hx,2*({expr})-1,2)) AS BIGINT)"
 
 
+def _b0(expr: str) -> str:
+    """DuckDB: byte at a COMPUTED 0-indexed offset (RIFF-walk arithmetic)."""
+    return f"CAST(('0x'||substr(hx,2*({expr})+1,2)) AS BIGINT)"
+
+
+def _u16le0(expr: str) -> str:
+    return f"({_b0(expr)} + 256*{_b0(f'({expr})+1')})"
+
+
+def _u32le0(expr: str) -> str:
+    return (
+        f"({_b0(expr)} + 256*{_b0(f'({expr})+1')}"
+        f" + 65536*{_b0(f'({expr})+2')} + 16777216*{_b0(f'({expr})+3')})"
+    )
+
+
 # r4: the oracle also re-derives the REAL BMP/WAV per-channel content
 # statistics (decoded pixel-buffer bytes / PCM s16le samples) from the raw
 # payload hex -- same truncated-buffer law as media_content_stats. The
 # fixed 0..1023 series bounds the per-item sample count (payloads are
-# <= ~560 bytes by construction); the canonical-layout WAV offsets are
-# valid for the fixture (the chunk-walk variant is pytest-covered).
+# <= ~600 bytes by construction).
+# r7 (ADVICE r5/r6 closed): the WAV side now performs a REAL RIFF chunk
+# walk via a recursive CTE -- first 'fmt ' chunk with clamped size >= 4
+# for wFormatTag/nChannels (wBitsPerSample only when size >= 16), first
+# 'data' chunk for the sample window, sizes clamped to the payload and
+# padded to even offsets -- the byte-for-byte law of
+# multimodal.walk_riff_chunks/parse_wav, so non-canonical JUNK/LIST
+# layouts (now planted in the gate fixture) are value-checked by the
+# driver instead of pytest-only.
 SQL_MULTIMODAL = f"""
-WITH m AS (
+WITH RECURSIVE m AS (
   SELECT media_id, kind, octet_length(payload) AS n_bytes, hex(payload) AS hx
   FROM read_parquet('{_MEDIA_ORACLE_DIR}/media.parquet/*.parquet')
 ), p AS (
@@ -1752,26 +1775,64 @@ WITH m AS (
   FROM m
 ), hdr AS (
   SELECT media_id, format, n_bytes, hx,
-    CASE WHEN format='wav' THEN {_hexbyte(23)} + 256*{_hexbyte(24)} END AS wav_ch,
     CASE WHEN format='bmp' THEN {_hexbyte(29)} + 256*{_hexbyte(30)} END AS bpp,
     CASE WHEN format='bmp' THEN {_hexbyte(11)} + 256*{_hexbyte(12)}
          + 65536*{_hexbyte(13)} + 16777216*{_hexbyte(14)} END AS bmp_off,
     CASE WHEN format='bmp' THEN {_hexbyte(31)} + {_hexbyte(32)}
          + {_hexbyte(33)} + {_hexbyte(34)} END AS bmp_comp
   FROM p
+), wavs AS (
+  SELECT media_id, hx, n_bytes FROM p WHERE format='wav'
+), riff AS (
+  -- the RIFF chunk walk: 0-indexed chunk-header offsets, starting after
+  -- the 12-byte RIFF/WAVE header; each step advances by 8 + size (clamped
+  -- to the payload) padded to even, exactly multimodal.walk_riff_chunks
+  SELECT media_id, 12 AS off FROM wavs
+  UNION ALL
+  SELECT r.media_id,
+         r.off + 8 + least({_u32le0('r.off+4')}, w.n_bytes - r.off - 8)
+               + (least({_u32le0('r.off+4')}, w.n_bytes - r.off - 8) % 2)
+  FROM riff r JOIN wavs w USING (media_id)
+  WHERE r.off + 8 <= w.n_bytes
+), wav_chunks AS (
+  SELECT r.media_id, r.off AS coff,
+         substr(w.hx, 2*r.off+1, 8) AS cid,
+         least({_u32le0('r.off+4')}, w.n_bytes - r.off - 8) AS csize
+  FROM riff r JOIN wavs w ON r.media_id = w.media_id
+  WHERE r.off + 8 <= w.n_bytes
+), wav_fmt AS (
+  -- first 'fmt ' chunk with (clamped) size >= 4, per parse_wav
+  SELECT wc.media_id,
+         {_u16le0('wc.coff+8')} AS fmt_tag,
+         {_u16le0('wc.coff+10')} AS wav_ch,
+         CASE WHEN wc.csize >= 16 THEN {_u16le0('wc.coff+22')} END AS bits
+  FROM wav_chunks wc
+  JOIN (SELECT media_id, min(coff) AS foff FROM wav_chunks
+        WHERE cid = '666D7420' AND csize >= 4 GROUP BY media_id) f
+    ON wc.media_id = f.media_id AND wc.coff = f.foff
+  JOIN wavs w ON wc.media_id = w.media_id
+), wav_data AS (
+  -- first 'data' chunk, size clamped
+  SELECT wc.media_id, wc.coff + 8 AS doff, wc.csize AS dsize
+  FROM wav_chunks wc
+  JOIN (SELECT media_id, min(coff) AS d0 FROM wav_chunks
+        WHERE cid = '64617461' GROUP BY media_id) d
+    ON wc.media_id = d.media_id AND wc.coff = d.d0
 ), ser AS (
   SELECT unnest(generate_series(0, 1023)) AS j
 ), wav_smp AS (
   SELECT media_id, j % wav_ch AS c,
-    CASE WHEN {_hexbyte_at('45+2*j')} + 256*{_hexbyte_at('46+2*j')} >= 32768
-         THEN {_hexbyte_at('45+2*j')} + 256*{_hexbyte_at('46+2*j')} - 65536
-         ELSE {_hexbyte_at('45+2*j')} + 256*{_hexbyte_at('46+2*j')} END AS smp
-  FROM (SELECT media_id, wav_ch, hx,
-               (((n_bytes - 44) // 2) // wav_ch) * wav_ch AS nkeep
-        FROM hdr WHERE format='wav' AND wav_ch > 0 AND n_bytes >= 46
-          -- r5 (ADVICE): s16le law only for wFormatTag=1 at 16 bits
-          AND {_hexbyte(21)} + 256*{_hexbyte(22)} = 1
-          AND {_hexbyte(35)} + 256*{_hexbyte(36)} = 16) w, ser
+    CASE WHEN {_b0('doff+2*j')} + 256*{_b0('doff+2*j+1')} >= 32768
+         THEN {_b0('doff+2*j')} + 256*{_b0('doff+2*j+1')} - 65536
+         ELSE {_b0('doff+2*j')} + 256*{_b0('doff+2*j+1')} END AS smp
+  FROM (SELECT f.media_id, f.wav_ch, w.hx, d.doff,
+               ((d.dsize // 2) // f.wav_ch) * f.wav_ch AS nkeep
+        FROM wav_fmt f
+        JOIN wav_data d ON f.media_id = d.media_id
+        JOIN wavs w ON f.media_id = w.media_id
+        -- s16le law only for wFormatTag=1 at 16 bits, >= 1 full sample
+        WHERE f.wav_ch > 0 AND f.fmt_tag = 1 AND f.bits = 16
+          AND d.dsize >= 2) s, ser
   WHERE j < nkeep
 ), wav_cstat AS (
   SELECT media_id, c, avg(smp)/32768.0 AS am, stddev_pop(smp)/32768.0 AS sd
@@ -1809,12 +1870,13 @@ SELECT p.media_id, p.kind, p.format, p.n_bytes,
                          WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 4 END
     WHEN 'gif' THEN 3
     WHEN 'bmp' THEN greatest(1, ({_hexbyte(29)} + 256*{_hexbyte(30)}) // 8)
-    WHEN 'wav' THEN {_hexbyte(23)} + 256*{_hexbyte(24)}
+    WHEN 'wav' THEN wf.wav_ch
   END AS channels,
   CAST(s.c AS BIGINT) AS ch,
   round(s.am, 6) AS ch_mean,
   round(s.sd, 6) AS ch_std
 FROM p LEFT JOIN cstat s USING (media_id)
+       LEFT JOIN wav_fmt wf USING (media_id)
 """
 
 

@@ -688,15 +688,14 @@ def test_png_sequential_filter_budget_degrades_to_placeholder(monkeypatch):
 
 
 def test_encode_wav_canonical_layout_contract():
-    """ADVICE r5: the multimodal driver oracle reads wFormatTag/nChannels/
-    wBitsPerSample at FIXED canonical offsets (bytes 12..44 header layout)
-    while the Spark side walks RIFF chunks. Every gate fixture WAV comes
-    from encode_wav, so pin the encoder to the canonical layout the SQL
-    assumes: 'fmt ' at offset 12 with a 16-byte PCM body, 'data' at
-    offset 36, samples from 44."""
+    """r7: the driver oracle now walks RIFF chunks (recursive CTE), so the
+    encoder's contract is layout-parametric: default canonical ('fmt ' at
+    12, 'data' at 36, samples from 44), and with ``junk`` a JUNK chunk
+    before 'fmt ' shifting every offset -- both layouts must parse to the
+    same header fields through the chunk walk."""
     import struct
 
-    from crocodile_spark.operators.multimodal import encode_wav
+    from crocodile_spark.operators.multimodal import encode_wav, parse_wav
 
     for ch, rate, data in [(1, 8000, b"ab" * 4), (2, 16000, b"abcd" * 7)]:
         b = encode_wav(ch, rate, data)
@@ -704,7 +703,16 @@ def test_encode_wav_canonical_layout_contract():
         assert b[12:16] == b"fmt "
         assert struct.unpack("<I", b[16:20])[0] == 16  # canonical fmt size
         assert struct.unpack("<H", b[20:22])[0] == 1  # wFormatTag = PCM
-        assert struct.unpack("<H", b[22:24])[0] == ch  # oracle's wav_ch law
+        assert struct.unpack("<H", b[22:24])[0] == ch
         assert struct.unpack("<H", b[34:36])[0] == 16  # wBitsPerSample
         assert b[36:40] == b"data"
-        assert b[44:] == data  # oracle samples from byte 45 (1-indexed hex)
+        assert b[44:] == data
+
+        # JUNK layout: fmt shifted by 8 + padded junk; same parsed fields
+        for junk in (b"\x07" * 20, b"\x07" * 21):  # even + odd (pad law)
+            j = encode_wav(ch, rate, data, junk=junk)
+            assert j[12:16] == b"JUNK"
+            assert parse_wav(j) == parse_wav(b)[:1] + parse_wav(j)[1:]
+            assert parse_wav(j)[0] == ch and parse_wav(j)[3:] == (1, 16)
+            doff, dsize = parse_wav(j)[1], parse_wav(j)[2]
+            assert j[doff : doff + dsize] == data
