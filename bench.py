@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # r7 (VERDICT r6 #1/#2): stamp host load into the artifact so a
+    # contended capture window is self-documented (the r6 79.3s artifact
+    # had to be diagnosed forensically from uniform inflation of
+    # untouched queries). 1-minute average at start; re-read at the end.
+    load_start = os.getloadavg()[0]
 
     from crocodile_spark.config import PipelineConfig
     from crocodile_spark.pipeline import run_pipeline
@@ -179,6 +184,9 @@ def main() -> None:
         timings["_regressions_verdict"] = (
             f"clean ({n_compared} queries, none >2x and >+1s vs {base_desc})"
         )
+
+    timings["_load_avg_1m_start"] = round(load_start, 2)
+    timings["_load_avg_1m_end"] = round(os.getloadavg()[0], 2)
 
     total = round(
         sum(v for k, v in timings.items()

@@ -131,6 +131,8 @@ def incremental_signatures(
     n_delta: int,
     cfg: PipelineConfig,
     changed_collect_cap: int = 20_000,
+    removed_records: DataFrame | None = None,
+    n_removed: int = 0,
 ) -> DataFrame | None:
     """Union signature table from stored state, byte-identical to
     ``mention_signatures(old union delta)`` -- without touching the old
@@ -174,26 +176,49 @@ def incremental_signatures(
     Tokens absent from the old corpus only affect delta records, which
     are rebuilt unconditionally. Everything else keeps its stored
     signature verbatim.
+
+    Removals (r7, the re-crawl upsert path): ``removed_records`` are rows
+    LEAVING the corpus (the old versions of updated urls). Their token
+    counts are SUBTRACTED in the DF merge, they are dropped from the kept
+    side, and -- because a df decrease breaks the monotone-rank argument
+    above (a rarer token can now ENTER a k-rarest kept set, which the
+    stored truncated signature cannot reveal) -- every token whose df
+    decreased while distinctive on either side is conservatively
+    classified as a FLIP (all holders rebuild). Decreases only come from
+    removed records' tokens, so the extra rebuild set is bounded by
+    |removed| x tokens/record x holders-of-those-tokens -- delta-scale
+    for re-crawl updates, where the holders of a removed record's
+    distinctive tokens are mostly its own entity's other pages.
     """
     c_old = mention_df_threshold(cfg, existing_n_records)
-    c_new = mention_df_threshold(cfg, existing_n_records + n_delta)
+    c_new = mention_df_threshold(
+        cfg, existing_n_records - n_removed + n_delta
+    )
     B = cfg.max_block_size
     delta_df = token_document_frequencies(delta, cfg)
-    merged = (
-        existing_token_df.select("token", F.col("df").alias("df_old"))
-        .join(
-            delta_df.select("token", F.col("df").alias("df_delta")),
+    merged = existing_token_df.select("token", F.col("df").alias("df_old")).join(
+        delta_df.select("token", F.col("df").alias("df_delta")),
+        "token",
+        "full_outer",
+    )
+    if removed_records is not None:
+        removed_df = token_document_frequencies(removed_records, cfg)
+        merged = merged.join(
+            removed_df.select("token", F.col("df").alias("df_removed")),
             "token",
             "full_outer",
         )
-        .select(
-            "token",
-            (
-                F.coalesce("df_old", F.lit(0)) + F.coalesce("df_delta", F.lit(0))
-            ).alias("df"),
-            "df_old",
-        )
-    )
+    else:
+        merged = merged.withColumn("df_removed", F.lit(None).cast("long"))
+    merged = merged.select(
+        "token",
+        (
+            F.coalesce("df_old", F.lit(0))
+            + F.coalesce("df_delta", F.lit(0))
+            - F.coalesce("df_removed", F.lit(0))
+        ).alias("df"),
+        "df_old",
+    ).where(F.col("df") > 0)
     old_distinct = F.col("df_old") <= F.lit(c_old)
     new_distinct = F.col("df") <= F.lit(c_new)
     base_changed = merged.where(
@@ -205,7 +230,10 @@ def incremental_signatures(
         )
     )
     block_flip = (F.col("df_old") <= F.lit(B)) != (F.col("df") <= F.lit(B))
-    is_flip = (old_distinct != new_distinct) | block_flip
+    # df decreases (removals) break the grow-only rank law: conservative
+    # flip classification for any decreased distinctive token
+    decreased = F.col("df") < F.col("df_old")
+    is_flip = (old_distinct != new_distinct) | block_flip | decreased
     flips = base_changed.where(is_flip).select("token")
     ranks = base_changed.where(~is_flip).select("token")
 
@@ -247,7 +275,14 @@ def incremental_signatures(
             .select("url")
         )
     )
-    affected_urls = flip_urls.union(rank_urls).distinct().persist()
+    affected_urls = flip_urls.union(rank_urls).distinct()
+    if removed_records is not None:
+        # removed urls leave the kept side entirely; they are NOT in the
+        # rebuild union (existing_records is the survivor base)
+        affected_urls = affected_urls.union(
+            removed_records.select("url")
+        ).distinct()
+    affected_urls = affected_urls.persist()
     affected_urls.count()
     affected_old = existing_records.select(*delta.columns).join(
         affected_urls, "url", "semi"
@@ -283,6 +318,7 @@ def delta_pairs(
     new_urls: DataFrame,
     cfg: PipelineConfig,
     existing_static_keys: DataFrame | None = None,
+    seed_urls: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs touching at least one new record.
 
@@ -300,7 +336,17 @@ def delta_pairs(
     cheaper than shingling). The resulting key set is BYTE-IDENTICAL to
     the full recompute -- static keys are per-record constants -- so pair
     generation and the final partition are unchanged.
+
+    ``seed_urls`` (r7, the re-crawl upsert path) decouples the two roles
+    ``new_urls`` plays: ``new_urls`` stays "records with no stored static
+    keys" (fresh shingling), while the SEED -- which urls' keys anchor
+    pair generation, the delta-held-key restriction, and the dup-star
+    scope -- widens to ``seed_urls``. Old records whose signature was
+    rebuilt (or whose cluster was dissolved) then re-enter pairing with
+    their STORED static keys, no re-shingling. Default (None) keeps the
+    original law: seed == new_urls.
     """
+    seed = new_urls if seed_urls is None else seed_urls
     if existing_static_keys is None:
         keys = blocking_keys(sigs, cfg)
     else:
@@ -329,10 +375,21 @@ def delta_pairs(
         # duplicated expression forest OOMed the driver while merely
         # FORMATTING the plan string. Checkpointing collapses it to a
         # scan leaf (the same trick clustering.py uses per CC round).
+        if seed_urls is None:
+            seed_sigs, seed_static = delta_sigs, delta_static
+        else:
+            seed_sigs = sigs.join(seed, "url", "semi")
+            # seeds that are old records pair through their STORED static
+            # keys; only content-new urls (new_urls) were re-shingled
+            seed_static = delta_static.union(
+                existing_static_keys.select("url", "key").join(
+                    seed, "url", "semi"
+                )
+            )
         delta_keys = (
-            token_keys(delta_sigs)
+            token_keys(seed_sigs)
             .select("key")
-            .union(delta_static.select("key"))
+            .union(seed_static.select("key"))
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -349,7 +406,7 @@ def delta_pairs(
         delta_keys = broadcast_if_small(delta_keys, "key", delta_keys.count(), cfg)
         keys = keys.join(delta_keys, "key", "semi")
     capped = cap_blocks(keys, cfg)
-    new_keys = capped.join(new_urls, "url", "semi")
+    new_keys = capped.join(seed, "url", "semi")
     cand = (
         new_keys.select(F.col("url").alias("u1"), "key")
         .join(capped.select(F.col("url").alias("u2"), "key"), "key")
@@ -365,15 +422,15 @@ def delta_pairs(
     # is_edge in the batch run), so re-emitting their edges is pure waste
     # and would break the no-old-old-pair contract
     delta_hashes = (
-        sigs.join(new_urls, "url", "semi").select("row_hash").distinct()
+        sigs.join(seed, "url", "semi").select("row_hash").distinct()
     )
     dup = exact_dup_pairs(sigs.join(delta_hashes, "row_hash", "semi"))
     dup = (
-        dup.join(new_urls.withColumnRenamed("url", "url_a"), "url_a", "semi")
+        dup.join(seed.withColumnRenamed("url", "url_a"), "url_a", "semi")
         .select("url_a", "url_b")
         .union(
             dup.join(
-                new_urls.withColumnRenamed("url", "url_b"), "url_b", "semi"
+                seed.withColumnRenamed("url", "url_b"), "url_b", "semi"
             ).select("url_a", "url_b")
         )
     )

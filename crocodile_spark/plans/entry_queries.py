@@ -2535,6 +2535,158 @@ WHERE (SELECT n FROM old_old) = 0
 """
 
 
+_RECRAWL_ORACLE_DIR = "/tmp/croco_spark_recrawl_oracle"
+
+
+def q_recrawl_upsert(spark, sf_dir, oracle_dir: str = _RECRAWL_ORACLE_DIR):
+    """Re-crawl upsert (r7, operators/recrawl.py): a crawl batch that
+    REVISITS known urls -- mixing brand-new pages, byte-identical
+    re-fetches (no-ops), and urls whose content changed (delete old
+    version + insert new) -- is resolved against an existing resolution
+    with cluster dissolution/repair, touching only delta-scale state.
+
+    The corpus splits 90/10 by url hash; the 90% is batch-resolved; the
+    batch re-fetches ~5% of resolved urls with APPENDED content (updates),
+    ~5% verbatim (unchanged), plus the 10% new pages. The DuckDB oracle
+    INDEPENDENTLY re-derives the dissolution law: it computes the affected
+    clusters from (old assignment x updated urls) itself, drops their
+    member<->root edges, and recomputes the final clustering as transitive
+    closure over the surviving old edges union the Spark-accepted new
+    edges -- so both the upsert classification and the dissolve/repair
+    contraction are value-checked, not just row-counted. Reference parity:
+    crocodile re-queues modified documents through the update loop
+    (backend/app/services/result_sync.py); this is the set-at-a-time form.
+    """
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.operators.blocking import (
+        static_keys,
+        token_document_frequencies,
+    )
+    from crocodile_spark.operators.recrawl import recrawl_upsert
+    from crocodile_spark.pipeline import run_pipeline
+
+    wp = documents_as_web_pages(spark, sf_dir)
+    h = F.pmod(F.xxhash64("url"), F.lit(20))
+    base_wp = wp.where(h < 18)
+    new_wp = wp.where(h >= 18)
+    h2 = F.pmod(F.xxhash64("url"), F.lit(19))
+    upd_wp = base_wp.where(h2 == 3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" recrawl revision marker"))
+    )
+    unch_wp = base_wp.where(h2 == 5)
+    batch = upd_wp.unionByName(unch_wp).unionByName(new_wp)
+
+    cfg = PipelineConfig()
+    base = run_pipeline(spark, base_wp, cfg, use_html=False)
+    out = recrawl_upsert(
+        spark,
+        base.records,
+        base.clusters,
+        batch,
+        cfg,
+        use_html=False,
+        existing_static_keys=static_keys(base.signatures, cfg),
+        existing_signatures=base.signatures,
+        existing_token_df=token_document_frequencies(base.records, cfg),
+        existing_n_records=base.records.count(),
+    )
+
+    base.clusters.select("url", "cluster_id").write.mode("overwrite").parquet(
+        f"{oracle_dir}/old_assign.parquet"
+    )
+    out.updated_urls.write.mode("overwrite").parquet(
+        f"{oracle_dir}/updated_urls.parquet"
+    )
+    out.scored.where(F.col("is_edge")).select("url_a", "url_b").write.mode(
+        "overwrite"
+    ).parquet(f"{oracle_dir}/new_edges.parquet")
+    base_wp.select("url").unionByName(new_wp.select("url")).write.mode(
+        "overwrite"
+    ).parquet(f"{oracle_dir}/urls.parquet")
+    # classification contract, oracle-checked: unchanged re-fetches must
+    # NOT have entered the delta (their urls are h2==5 and not updated)
+    out.delta_records.select("url").write.mode("overwrite").parquet(
+        f"{oracle_dir}/delta_urls.parquet"
+    )
+    unch_wp.select("url").write.mode("overwrite").parquet(
+        f"{oracle_dir}/unchanged_urls.parquet"
+    )
+    sizes = out.clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    res = out.clusters.join(sizes, "cluster_id").select(
+        "url", "cluster_id", "cluster_size"
+    )
+    res = res.localCheckpoint(eager=True)
+    out.unpersist()
+    return res
+
+
+SQL_RECRAWL = f"""
+WITH RECURSIVE
+upd AS (
+  SELECT url FROM read_parquet('{_RECRAWL_ORACLE_DIR}/updated_urls.parquet/*.parquet')
+),
+old_assign AS (
+  SELECT url, cluster_id
+  FROM read_parquet('{_RECRAWL_ORACLE_DIR}/old_assign.parquet/*.parquet')
+),
+-- the dissolution law, derived INDEPENDENTLY of Spark: clusters holding
+-- an updated url lose all member<->root edges (their survivors become
+-- free nodes, reconnected only by Spark-accepted new edges)
+affected AS (
+  SELECT DISTINCT cluster_id FROM old_assign
+  WHERE url IN (SELECT url FROM upd)
+),
+old_edges AS (
+  SELECT url AS url_a, cluster_id AS url_b FROM old_assign
+  WHERE url <> cluster_id
+    AND cluster_id NOT IN (SELECT cluster_id FROM affected)
+),
+new_edges AS (
+  SELECT url_a, url_b
+  FROM read_parquet('{_RECRAWL_ORACLE_DIR}/new_edges.parquet/*.parquet')
+),
+und AS (
+  SELECT url_a AS a, url_b AS b FROM new_edges
+  UNION SELECT url_b AS a, url_a AS b FROM new_edges
+  UNION SELECT url_a AS a, url_b AS b FROM old_edges
+  UNION SELECT url_b AS a, url_a AS b FROM old_edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a
+),
+cid AS (
+  SELECT a AS url, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+urls AS (
+  SELECT url FROM read_parquet('{_RECRAWL_ORACLE_DIR}/urls.parquet/*.parquet')
+),
+assign AS (
+  SELECT u.url, coalesce(c.cluster_id, u.url) AS cluster_id
+  FROM urls u LEFT JOIN cid c USING (url)
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM assign GROUP BY cluster_id
+),
+-- upsert-classification contract: a byte-identical re-fetch must never
+-- enter the delta (violations empty the result and red the gate)
+bad_unchanged AS (
+  SELECT count(*) AS n
+  FROM read_parquet('{_RECRAWL_ORACLE_DIR}/unchanged_urls.parquet/*.parquet') x
+  WHERE x.url IN (SELECT url FROM read_parquet(
+          '{_RECRAWL_ORACLE_DIR}/delta_urls.parquet/*.parquet'))
+    AND x.url NOT IN (SELECT url FROM upd)
+)
+SELECT a.url, a.cluster_id, s.cluster_size
+FROM assign a JOIN sizes s USING (cluster_id)
+WHERE (SELECT n FROM bad_unchanged) = 0
+"""
+
+
 _Q7_LAKE = "/tmp/croco_spark_q7_lake"
 
 
@@ -2615,6 +2767,10 @@ FROM expected e LEFT JOIN agg a USING (stage)
 # w6_confidence_sort, p5_placeholder_filter. The ER-family queries stay
 # in-window (r7 touched blocking/scoring: block_max_tokens decoupling,
 # byte-gated broadcasts, trained emb weights).
+#
+# r7 addition: recrawl_upsert (NEW operator this round) enters the window
+# next to incremental_er; token_count (driver-green r5+r6, native exprs
+# untouched since r3, pytest-covered) rotates to the tail to make room.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_normalize": q_f1_normalize,
     "f4_tokenize": q_f4_tokenize,
@@ -2632,7 +2788,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
-    "token_count": q_token_count,
     "cosine_topk": q_cosine_topk,
     "f8_f9_kind_map": q_f8_f9_kind_map,
     "x3_typefreq_slots": q_x3_typefreq_slots,
@@ -2652,6 +2807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "incremental_er": q_incremental_er,
+    "recrawl_upsert": q_recrawl_upsert,
     "s3_json_ingest": q_s3_json_ingest,
     "j7_cell_data": q_j7_cell_data,
     "q7_progress_phases": q_q7_progress_phases,
@@ -2676,6 +2832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p7_text_search": q_p7_text_search,
     "w6_confidence_sort": q_w6_confidence_sort,
     "p5_placeholder_filter": q_p5_placeholder_filter,
+    "token_count": q_token_count,
 }
 
 ORACLES: dict[str, str] = {
@@ -2723,6 +2880,7 @@ ORACLES: dict[str, str] = {
     "el_link": SQL_EL,
     "er_pipeline_clusters": SQL_ER_CLUSTERS,
     "incremental_er": SQL_INCREMENTAL_ER,
+    "recrawl_upsert": SQL_RECRAWL,
     "annotation_round": SQL_ANNOTATION,
     "s3_json_ingest": SQL_S3,
     "j7_cell_data": SQL_J7,

@@ -156,6 +156,18 @@ class StreamingEntityResolution:
     merged token-DF, delta-scoped rebuild). The partition-equivalence law
     (streamed batches == one-shot batch resolution) and the replay /
     orphan-dir idempotency laws are pytest-gated in test_streaming.py.
+
+    Snapshot retention: the versioned snapshot families (clusters_b{B},
+    signatures_b{B}, token_df_b{B}) each hold one FULL-corpus copy per
+    batch, so without pruning the state dir grows as O(corpus x batches)
+    -- unbounded at a re-crawl cadence. After every meta flip the loop
+    deletes superseded snapshot dirs beyond the newest
+    ``snapshot_retention`` committed batches (>=1; the delta path only
+    ever reads the latest). Pruning runs strictly AFTER the atomic
+    commit, so a crash mid-prune leaves extra dirs, never a missing
+    snapshot, and a replayed prune is a no-op. The per-batch staging dirs
+    (records/batch_{B}, static_keys/batch_{B}) are the corpus itself --
+    union over meta's manifest -- and are never pruned.
     """
 
     def __init__(
@@ -164,6 +176,7 @@ class StreamingEntityResolution:
         state_dir: str,
         cfg=None,
         use_html: bool = False,
+        snapshot_retention: int = 2,
     ) -> None:
         from crocodile_spark.config import PipelineConfig
 
@@ -171,6 +184,9 @@ class StreamingEntityResolution:
         self.state_dir = state_dir
         self.cfg = cfg or PipelineConfig()
         self.use_html = use_html
+        if snapshot_retention < 1:
+            raise ValueError("snapshot_retention must be >= 1")
+        self.snapshot_retention = snapshot_retention
 
     # -- state plumbing ----------------------------------------------------
 
@@ -208,6 +224,16 @@ class StreamingEntityResolution:
         is assembled from meta.json's manifest (the Iceberg-manifest move),
         so orphan dirs left by a failed attempt are invisible to readers."""
         return [self._p(f"{name}/batch_{b}") for b in meta["batches"]]
+
+    def _prune_snapshots(self, meta: dict) -> None:
+        """Delete versioned snapshot dirs superseded beyond the retention
+        window (the Iceberg expire_snapshots move). Called strictly after
+        the meta flip; idempotent (missing dirs are fine)."""
+        import shutil
+
+        for b in meta["batches"][: -self.snapshot_retention]:
+            for fam in ("signatures_b", "clusters_b", "token_df_b"):
+                shutil.rmtree(self._p(f"{fam}{b}"), ignore_errors=True)
 
     # -- the foreachBatch callback ----------------------------------------
 
@@ -304,13 +330,13 @@ class StreamingEntityResolution:
         static_keys(delta_sigs, cfg).write.mode("overwrite").parquet(
             self._p(f"static_keys/batch_{batch_id}")
         )
-        self._commit_meta(
-            {
-                "last_batch_id": batch_id,
-                "n_records": meta["n_records"] + n_delta,
-                "batches": meta["batches"] + [batch_id],
-            }
-        )
+        new_meta = {
+            "last_batch_id": batch_id,
+            "n_records": meta["n_records"] + n_delta,
+            "batches": meta["batches"] + [batch_id],
+        }
+        self._commit_meta(new_meta)
+        self._prune_snapshots(new_meta)
         inc.unpersist()
 
     def clusters(self) -> DataFrame:

@@ -159,6 +159,13 @@ def main() -> None:
     skew = "--skew" in args
     if skew:
         args.remove("--skew")
+    # --emb (r7, VERDICT r6 #4): generate the corpus with 16-dim planted
+    # embeddings so the emb_cosine feature is live end-to-end through the
+    # TRAINED logistic_weights_emb.json (asserted below, not the literal
+    # fallback) at checkpoint scale
+    with_emb = "--emb" in args
+    if with_emb:
+        args.remove("--emb")
     n_entities = int(args[0]) if len(args) > 0 else 13230
     pages = int(args[1]) if len(args) > 1 else 8
     filler_hi = int(args[2]) if len(args) > 2 else 120
@@ -193,7 +200,14 @@ def main() -> None:
         pages_per_entity=pages,
         seed=42,
         filler_range=(max(2, filler_hi // 3), filler_hi),
+        embedding_dim=16 if with_emb else 0,
     )
+    if with_emb:
+        from crocodile_spark.operators.scoring import load_trained_weights
+
+        trained = load_trained_weights("emb")
+        assert trained is not None, "trained emb weights must ship"
+        assert "emb_cosine" in trained[0]
     skew_info = plant_skew(corpus) if skew else None
     wp, kb, gold = corpus_to_spark(spark, corpus)
     wp = wp.repartition(parts).persist()
@@ -231,6 +245,7 @@ def main() -> None:
     cold = one_pass()
     r1, w1 = shuffle_totals(spark)
     n_pairs = cold["_frames"][2].count()
+    scored_cols = cold["_frames"][3].columns
     m = evaluate_pairwise_f1(cold["_frames"][4], gold, cold["_frames"][2])
     # warm: identical job again with the cold pass's persisted frames
     # RELEASED -- codegen/Python workers/shuffle files exist, but every
@@ -277,6 +292,10 @@ def main() -> None:
         "load_avg_1m": os.getloadavg()[0],
     }
     report["stragglers"] = task_straggler_stats(spark)
+    if with_emb:
+        # the emb slot really flowed: the scored frame carries emb_cosine
+        report["emb_feature_active"] = "emb_cosine" in scored_cols
+        report["emb_weights"] = "trained"
     if skew_info is not None:
         report["skew"] = skew_info
     for k in ("cold", "warm", "hot_cached"):

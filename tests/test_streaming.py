@@ -255,3 +255,65 @@ def test_streaming_er_commit_is_idempotent(spark, tmp_path):
         return {frozenset(v) for v in by.values()}
 
     assert partition(res.clusters()) == partition(batch_out.clusters)
+
+
+def test_streaming_er_snapshot_retention(spark, tmp_path):
+    """r7: the versioned snapshot families hold one full-corpus copy per
+    batch, so an unpruned state dir grows O(corpus x batches) -- unbounded
+    at re-crawl cadence. With snapshot_retention=1 only the newest
+    committed snapshot survives each flip; the staging dirs (the corpus
+    manifest) are never pruned; later deltas still resolve (they only read
+    the latest snapshot) and the final partition still equals the one-shot
+    batch resolution."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crocodile_spark.config import PipelineConfig
+    from crocodile_spark.datagen import corpus_to_spark, make_corpus
+    from crocodile_spark.pipeline import run_pipeline
+    from crocodile_spark.streaming.incremental import StreamingEntityResolution
+
+    wp, _, _ = corpus_to_spark(
+        spark, make_corpus(n_entities=50, pages_per_entity=6, seed=77)
+    )
+    wp = wp.select("url", "warc_ts", "html", "text", "lang").cache()
+    bucket = F.pmod(F.xxhash64("url"), F.lit(5))
+
+    cfg = PipelineConfig(shuffle_partitions=8)
+    state = str(tmp_path / "state")
+    res = StreamingEntityResolution(
+        spark, state, cfg, use_html=True, snapshot_retention=1
+    )
+    for b, cond in enumerate([bucket <= 2, bucket == 3, bucket == 4]):
+        res.process_batch(wp.where(cond), b)
+
+    meta = json.load(open(os.path.join(state, "meta.json")))
+    assert meta["batches"] == [0, 1, 2]
+    for fam in ("signatures_b", "clusters_b", "token_df_b"):
+        # superseded snapshots pruned, newest kept
+        assert not os.path.exists(os.path.join(state, f"{fam}0")), fam
+        assert not os.path.exists(os.path.join(state, f"{fam}1")), fam
+        assert os.path.exists(os.path.join(state, f"{fam}2")), fam
+    for staging in ("records", "static_keys"):
+        # the corpus manifest is never pruned
+        for b in (0, 1, 2):
+            assert os.path.exists(
+                os.path.join(state, staging, f"batch_{b}")
+            ), (staging, b)
+
+    batch_out = run_pipeline(spark, wp, cfg, use_html=True)
+
+    def partition(cl):
+        by = {}
+        for r in cl.select("url", "cluster_id").collect():
+            by.setdefault(r["cluster_id"], set()).add(r["url"])
+        return {frozenset(v) for v in by.values()}
+
+    assert partition(res.clusters()) == partition(batch_out.clusters)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        StreamingEntityResolution(spark, state, cfg, snapshot_retention=0)
