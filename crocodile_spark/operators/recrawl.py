@@ -31,7 +31,10 @@ while touching only delta-scale state:
   rows plus the dissolved members reproduces the full re-run's decisions
   under the same stable-DF-profile caveat documented on
   :func:`incremental_er` (old-old blocks created purely by cutoff drift
-  are skipped there too).
+  are skipped there too). With ``existing_edges`` (edge-retaining
+  repair), dissolved members leave the seed entirely: their surviving
+  old edges stand in for re-scoring, and only delta-touched pairs are
+  regenerated -- O(delta) repair (see the function docstring).
 - **cluster**: :func:`merge_clusters` over the carried assignment with
   the dissolved members + delta as fresh nodes; min-url convention makes
   the contraction law line up unchanged.
@@ -76,6 +79,7 @@ class RecrawlOutput:
     clusters: DataFrame         # FULL updated (url, cluster_id) assignment
     signatures: DataFrame | None = None
     n_records: int | None = None  # corpus size after the upsert
+    edges: DataFrame | None = None  # updated accepted-edge state (when existing_edges given)
     stage_stats: dict = field(default_factory=dict)
 
     def unpersist(self) -> None:
@@ -103,6 +107,7 @@ def recrawl_upsert(
     existing_signatures: DataFrame | None = None,
     existing_token_df: DataFrame | None = None,
     existing_n_records: int | None = None,
+    existing_edges: DataFrame | None = None,
 ) -> RecrawlOutput:
     """Upsert a re-crawl batch into an existing resolution.
 
@@ -110,6 +115,22 @@ def recrawl_upsert(
     state (signatures + token_df + n_records) the signature rebuild is
     the O(delta) merge law with removal support, otherwise signatures
     recompute over the survivor union (linear fallback).
+
+    ``existing_edges`` (r7, edge-retaining repair): the base resolution's
+    accepted edges (``base.scored.where("is_edge").select(url_a,url_b)``).
+    Without them, an updated url dissolves its WHOLE cluster into the
+    pair-generation seed -- measured at 111k with ~5% scattered updates,
+    that rescored 63% of the full pair volume (BENCH.md r7). With them,
+    only pairs touching a RE-DECIDED url (the delta + signature-rebuilt
+    old records) are regenerated; a dissolved member whose own signature
+    is byte-identical keeps its surviving old edges (those not incident to
+    a re-decided url -- its old accept/reject decisions stand, the same
+    stable-DF-profile law as :func:`incremental_er`'s old-old contract),
+    and those edges re-enter clustering alongside the fresh ones. Repair
+    cost drops from O(affected-cluster members x block size) to
+    O(delta-touched pairs). The output ``edges`` carries the updated edge
+    state for the next batch: old edges minus re-decided incidents, plus
+    newly accepted -- maintain it exactly like signatures/token_df.
     """
     cfg = cfg or PipelineConfig()
     norm = normalize_pages(pages, use_html)
@@ -223,7 +244,14 @@ def recrawl_upsert(
     # -- seeds: fresh-assignment urls + signature-rebuilt old records ----
     new_urls = delta.select("url")
     fresh_urls = new_urls.unionByName(members).distinct().localCheckpoint(eager=True)
-    seed = fresh_urls
+    # Edge-retaining repair needs the merge law's rebuilt-record set (aux)
+    # to know exactly which old records' decisions are stale; without it
+    # (linear sig fallback) dissolve-and-rescore stays the safe path.
+    retain = existing_edges is not None and n_updated > 0 and aux is not None
+    # the SEED is every url whose pair decisions are re-derived this run:
+    # retaining mode excludes untouched dissolved members (their old
+    # edges stand in for re-scoring), dissolve mode includes them
+    seed = new_urls if retain else fresh_urls
     if aux is not None:
         # affected_urls from the signature merge (includes removed urls,
         # harmless: they have no signature row, so they key nothing)
@@ -250,6 +278,30 @@ def recrawl_upsert(
     scored_cached.unpersist()
     new_edges = scored.where(F.col("is_edge")).select("url_a", "url_b")
 
+    out_edges = None
+    if existing_edges is not None:
+        # every pair touching a seed url was scored fresh this run, so old
+        # edges incident to the seed are superseded (updated urls are in
+        # the delta, hence in the seed); both orientations covered. The
+        # seed is delta-scale and checkpointed -- gate it onto the
+        # broadcast path so the anti joins FILTER the edge scan.
+        seed_b = broadcast_if_small(seed, "url", seed.count(), cfg)
+        kept_edges = existing_edges.join(
+            seed_b.withColumnRenamed("url", "url_a"), "url_a", "left_anti"
+        ).join(seed_b.withColumnRenamed("url", "url_b"), "url_b", "left_anti")
+        out_edges = kept_edges.select("url_a", "url_b").unionByName(new_edges)
+        if retain:
+            # surviving edges inside the dissolved scope re-enter
+            # clustering: accepted edges never span clusters, so a
+            # one-sided member semi captures the affected-component set
+            aff_members = (
+                existing_clusters.join(cid, "cluster_id", "semi").select("url")
+            )
+            surviving = kept_edges.join(
+                aff_members.withColumnRenamed("url", "url_a"), "url_a", "semi"
+            ).select("url_a", "url_b")
+            new_edges = new_edges.unionByName(surviving)
+
     clusters = merge_clusters(
         base_clusters, fresh_urls, new_edges, cfg.max_cc_iterations
     )
@@ -267,9 +319,11 @@ def recrawl_upsert(
         clusters=clusters,
         signatures=sigs,
         n_records=n_after,
+        edges=out_edges,
         stage_stats={
             "n_batch": n_batch,
             "n_new_or_updated": n_delta,
             "n_updated": n_updated,
+            "edge_retaining": bool(retain),
         },
     )

@@ -96,6 +96,9 @@ def main() -> None:
     keys.count()
     n_base = base.records.count()
 
+    # JVM warmth ordering is deliberately CONSERVATIVE for the speedup
+    # claims: dissolve mode runs coldest, edge-retaining mode second, the
+    # full re-run last (warmest denominator)
     t0 = time.time()
     out = recrawl_upsert(
         spark,
@@ -112,6 +115,25 @@ def main() -> None:
     out.clusters.persist().count()
     t_recrawl = round(time.time() - t0, 1)
 
+    edges = base.scored.where(F.col("is_edge")).select("url_a", "url_b").persist()
+    edges.count()
+    t0 = time.time()
+    out_ret = recrawl_upsert(
+        spark,
+        base.records,
+        base.clusters,
+        batch,
+        cfg,
+        use_html=False,
+        existing_static_keys=keys,
+        existing_signatures=base.signatures,
+        existing_token_df=token_df,
+        existing_n_records=n_base,
+        existing_edges=edges,
+    )
+    out_ret.clusters.persist().count()
+    t_retain = round(time.time() - t0, 1)
+
     t0 = time.time()
     full = run_pipeline(spark, mutated, cfg, use_html=False)
     full.clusters.persist().count()
@@ -123,9 +145,16 @@ def main() -> None:
             by.setdefault(r["cluster_id"], set()).add(r["url"])
         return {frozenset(v) for v in by.values()}
 
-    p_rc, p_full = partition(out.clusters), partition(full.clusters)
+    p_rc, p_ret, p_full = (
+        partition(out.clusters),
+        partition(out_ret.clusters),
+        partition(full.clusters),
+    )
     n_div = sum(len(s) for s in p_rc ^ p_full) // 2
+    n_div_ret = sum(len(s) for s in p_ret ^ p_full) // 2
     m = evaluate_pairwise_f1(out.clusters, gold, full.pairs)
+
+    m_full = evaluate_pairwise_f1(full.clusters, gold, full.pairs)
 
     report = {
         "n_records_base": n_base,
@@ -134,18 +163,31 @@ def main() -> None:
         "n_updated": out.stage_stats["n_updated"],
         "n_new_or_updated": out.stage_stats["n_new_or_updated"],
         "recrawl_pairs": out.pairs.count(),
+        "retain_pairs": out_ret.pairs.count(),
         "full_pairs": full.pairs.count(),
         "recrawl_wall_s": t_recrawl,
+        "retain_wall_s": t_retain,
         "full_rerun_wall_s": t_full,
         "speedup_vs_full": round(t_full / t_recrawl, 2),
+        "retain_speedup_vs_full": round(t_full / t_retain, 2),
         "partition_equivalent": p_rc == p_full,
+        "retain_partition_equivalent": p_ret == p_full,
         "n_urls_in_diverging_clusters": n_div,
+        "n_urls_in_diverging_clusters_retain": n_div_ret,
         "f1": round(m["f1"], 4),
+        "f1_full_rerun": round(m_full["f1"], 4),
         "cores": cores,
         "load_avg_1m": os.getloadavg()[0],
     }
     print(json.dumps(report))
-    if m["f1"] < 0.9998:
+    # the law is EQUIVALENCE: the upsert must score exactly like the full
+    # re-run of the mutated corpus (the mutation marker shifts absolute F1
+    # for BOTH paths equally, so the clean-corpus 0.9998 bar doesn't apply)
+    if (
+        not report["partition_equivalent"]
+        or not report["retain_partition_equivalent"]
+        or m["f1"] < m_full["f1"] - 1e-9
+    ):
         sys.exit(1)
 
 

@@ -355,3 +355,138 @@ def test_incremental_signatures_removal_byte_identical(spark):
     assert rows["http://h0.ex/u0"] == {"rr", "qq"}  # rr entered, pp left
     assert "hot" in rows["http://h3.ex/u3"]         # removal status flip
     assert "pp" not in rows["http://h1.ex/u1"]      # growth flip
+
+
+def _unionfind_partition(urls, edge_rows):
+    parent = {u: u for u in urls}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for r in edge_rows:
+        a, b = find(r["url_a"]), find(r["url_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    by: dict = {}
+    for u in urls:
+        by.setdefault(find(u), set()).add(u)
+    return {frozenset(v) for v in by.values()}
+
+
+def test_recrawl_edge_retaining_matches_full_rerun(spark, recrawl_fixture):
+    """r7 edge-retaining repair: with the base resolution's accepted edges
+    as state, untouched dissolved members keep their surviving edges
+    instead of re-pairing -- the final partition must still equal the full
+    re-run, and the OUTPUT edge state must independently reproduce that
+    partition under a plain union-find (the state-maintenance law)."""
+    from crocodile_spark.operators.blocking import (
+        static_keys,
+        token_document_frequencies,
+    )
+
+    fx = recrawl_fixture
+    cfg, base = fx["cfg"], fx["base"]
+    token_df = token_document_frequencies(base.records, cfg).cache()
+    keys = static_keys(base.signatures, cfg).cache()
+    edges = base.scored.where(F.col("is_edge")).select("url_a", "url_b").cache()
+
+    out = recrawl_upsert(
+        spark,
+        base.records,
+        base.clusters,
+        fx["batch"],
+        cfg,
+        use_html=False,
+        existing_static_keys=keys,
+        existing_signatures=base.signatures,
+        existing_token_df=token_df,
+        existing_n_records=base.records.count(),
+        existing_edges=edges,
+    )
+    assert out.stage_stats["edge_retaining"] is True
+    _assert_partition_equal(_partition(out.clusters), fx["full_partition"])
+
+    # edge-state law: union-find over out.edges alone reproduces the
+    # final partition for the whole corpus
+    urls = [r["url"] for r in fx["mutated_full"].select("url").collect()]
+    uf = _unionfind_partition(urls, out.edges.collect())
+    _assert_partition_equal(uf, fx["full_partition"])
+
+    # no superseded edge leaks into the state: nothing incident to an
+    # updated url except freshly accepted pairs
+    upd = set(fx["moved_urls"]) | set(fx["tweaked_urls"])
+    fresh = {
+        (r["url_a"], r["url_b"])
+        for r in out.scored.where(F.col("is_edge")).collect()
+    }
+    for r in out.edges.collect():
+        if r["url_a"] in upd or r["url_b"] in upd:
+            assert (r["url_a"], r["url_b"]) in fresh
+    out.unpersist()
+
+
+def test_recrawl_bridge_update_splits_with_edge_retention(spark):
+    """The dissolve-mode bridge-split law must survive edge retention:
+    the updated bridge's incident edges are superseded (not retained), so
+    the remainder splits exactly as the full re-run decides."""
+    from crocodile_spark.operators.blocking import (
+        static_keys,
+        token_document_frequencies,
+    )
+
+    rows = [
+        ("http://s1.ex/a", "alice anderson quantum flux capacitor widget alpha"),
+        ("http://s2.ex/b", "alice anderson quantum flux zeta omega gadget beta"),
+        ("http://s3.ex/c", "alice anderson zeta omega gadget gamma trinket delta"),
+        ("http://s4.ex/d", "bob barker morning show episode one"),
+        ("http://s5.ex/e", "bob barker morning show episode two"),
+        ("http://s6.ex/f", "carol chen research paper draft one"),
+        ("http://s7.ex/g", "carol chen research paper draft two"),
+        ("http://s8.ex/h", "dave diaz travel blog entry one"),
+        ("http://s9.ex/i", "dave diaz travel blog entry two"),
+        ("http://s10.ex/j", "erin estes cooking recipe post one"),
+        ("http://s11.ex/k", "erin estes cooking recipe post two"),
+        ("http://s12.ex/l", "frank fox gardening guide part one"),
+    ]
+    wp = spark.createDataFrame(rows, ["url", "text"])
+    cfg = PipelineConfig(shuffle_partitions=4)
+    base = run_pipeline(spark, wp, cfg, use_html=False)
+
+    batch = spark.createDataFrame(
+        [("http://s2.ex/b", "unrelated zzz yyy xxx totally different now")],
+        ["url", "text"],
+    )
+    out = recrawl_upsert(
+        spark,
+        base.records,
+        base.clusters,
+        batch,
+        cfg,
+        use_html=False,
+        existing_static_keys=static_keys(base.signatures, cfg),
+        existing_signatures=base.signatures,
+        existing_token_df=token_document_frequencies(base.records, cfg),
+        existing_n_records=base.records.count(),
+        existing_edges=base.scored.where(F.col("is_edge")).select(
+            "url_a", "url_b"
+        ),
+    )
+    assert out.stage_stats["edge_retaining"] is True
+    mutated = wp.withColumn(
+        "text",
+        F.when(
+            F.col("url") == "http://s2.ex/b",
+            F.lit("unrelated zzz yyy xxx totally different now"),
+        ).otherwise(F.col("text")),
+    )
+    full = run_pipeline(spark, mutated, cfg, use_html=False)
+    _assert_partition_equal(_partition(out.clusters), _partition(full.clusters))
+    cl = {r["url"]: r["cluster_id"] for r in out.clusters.collect()}
+    assert cl["http://s2.ex/b"] not in (
+        cl["http://s1.ex/a"],
+        cl["http://s3.ex/c"],
+    )
+    out.unpersist()
