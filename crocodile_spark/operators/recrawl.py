@@ -43,6 +43,15 @@ Cost: O(|batch| + |affected cluster members| + |rebuilt signatures|) on
 top of scan-only passes over the stored tables -- no corpus-scale
 shuffle, the same posture as the delta path it extends.
 
+Equivalence boundary, measured (scripts/recrawl_drift_diag.py at 210k
+and 529k; BENCH.md r7): the upsert generates EVERY edge the full re-run
+accepts (zero missed, all key families, both modes). Where partitions
+diverge at scale (~1.7% of urls at 529k/21%-batch), it is the full
+re-run that drops base-validated old-old edges -- corpus growth pushes
+their blocks over the cap, so it never regenerates pairs the base had
+scored and accepted -- making the incremental result the
+quality-favoring superset (F1 vs gold identical to 4 decimals).
+
 Reference parity: crocodile re-processes a modified document by deleting
 its cached candidates and re-queuing the row (backend
 result_sync/crocodile.py update loop); this is the set-at-a-time form
