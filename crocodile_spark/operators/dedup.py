@@ -15,11 +15,16 @@ Five families, all returning DataFrames (ids/pairs/cluster assignments):
                         random-hyperplane LSH bucketing
 
 Scale posture: every family is explode -> aggregate/join on a bounded key
-(block caps where a key can be hot); no driver-side loops, no UDF except
-none at all -- everything here is native expressions.
+(block caps where a key can be hot); no driver-side loops. Hashing and set
+algebra are native expressions; the one Arrow pandas UDF (the SimHash
+bit-count fold, r8) is integer-exact, per-document-bounded, and exists
+because its native 60-aggregate twin costs seconds of driver-side
+plan/codegen time per query (guide section 4.2).
 """
 
 from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -197,20 +202,63 @@ def minhash_lsh_pairs(
     return verified
 
 
+def _simhash_fold_udf(bits: int):
+    """Arrow fingerprint fold: collect_list(token hash) -> simhash long.
+
+    INTEGER-EXACT twin of the native 60/64-aggregate form (r8): per bit i,
+    s_i = sum over tokens of +/-1 = 2*popcount_i - n, fingerprint bit i set
+    iff s_i > 0 -- all int64 arithmetic, so the result is bit-identical to
+    the native aggregate law with zero fp-summation caveats. Exists because
+    the native form's 60 sum(CASE) aggregates + 60-term fingerprint fold
+    cost ~7 s of DRIVER-side Catalyst/Janino work per query at any data
+    size (measured r8, plan=7.1 s vs exec=1.1 s at sf0.1) -- the plan, not
+    the data, was the bottleneck (guide section 4.2: batch the custom
+    arithmetic in numpy, keep Spark for distribution).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def fold(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, row in enumerate(hs):
+            h = np.asarray(row, dtype=np.int64).view(np.uint64)
+            # bit i of h survives (h >> i) & 1 under arithmetic or logical
+            # shift alike, so uint64 shifting matches the JVM law exactly
+            cnt = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            mask = (2 * cnt) > len(h)  # s_i = 2*c_i - n > 0
+            fp = (mask.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = fp.astype(np.int64)  # bit 63 wraps to -(1<<63), as native
+        return pd.Series(out)
+
+    return fold
+
+
 def simhash(
     df: DataFrame,
     text_col: str,
     id_col: str,
     bits: int = 64,
     portable: bool = False,
+    arrow: bool = True,
 ) -> DataFrame:
-    """SimHash over the document's token set, native expressions.
+    """SimHash over the document's token set.
 
     Each token contributes its hash bit pattern; the fingerprint bit i is
-    1 when more tokens have bit i set than unset. Explode->aggregate: per
-    bit, sum(+/-1) via shiftright/and. ``portable=True`` uses the md5
-    60-bit hash law (callers should pass bits=60 with it) so a DuckDB
-    oracle can reproduce fingerprints exactly.
+    1 when more tokens have bit i set than unset. ``portable=True`` uses
+    the md5 60-bit hash law (callers should pass bits=60 with it) so a
+    DuckDB oracle can reproduce fingerprints exactly.
+
+    ``arrow=True`` (default): tokens are hashed in the JVM, then the
+    per-document bit-count fold runs as one Arrow pandas UDF over
+    collect_list(h) -- integer-exact, bit-identical to the native form
+    (see _simhash_fold_udf). The aggregation state is the document's own
+    token hashes (bounded by the document's size, which already travels
+    the pipeline), not a hot-key blowup. ``arrow=False`` keeps the
+    UDF-free explode->aggregate form: per bit, sum(+/-1) via
+    shiftright/and -- same results, ~7 s/query slower to PLAN.
     """
     tok_hash = (
         portable_hash64(F.col("tok"), 0) if portable else F.xxhash64("tok")
@@ -219,6 +267,9 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     ).withColumn("h", tok_hash)
+    if arrow:
+        hs = toks.groupBy("id").agg(F.collect_list("h").alias("_hs"))
+        return hs.select("id", _simhash_fold_udf(bits)(F.col("_hs")).alias("simhash"))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
