@@ -373,7 +373,7 @@ def embedding_near_dup_pairs(
     num_tables: int = 4,
     seed: int = 42,
     max_bucket_size: int = 1024,
-    arrow: bool = True,
+    arrow: bool | str = True,
     materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup via banded random-hyperplane LSH.
@@ -401,9 +401,9 @@ def embedding_near_dup_pairs(
             [], "id_a long, id_b long, cosine double"
         )
     if arrow:
-        buckets = hyperplane_table_buckets_udf(dim, num_planes, num_tables, seed)(
-            F.col(emb_col)
-        )
+        buckets = hyperplane_table_buckets_udf(
+            dim, num_planes, num_tables, seed, exact=(arrow == "exact")
+        )(F.col(emb_col))
     else:
         buckets = hyperplane_table_buckets(emb_col, dim, num_planes, num_tables, seed)
     b = _spread(df).select(
@@ -425,10 +425,18 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     v = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
+    if arrow:
+        # bit-exact Arrow fold twin of the HOF cosine (emb_kernels): same
+        # values, so the threshold filter admits the identical pair set
+        from crocodile_spark.functions.emb_kernels import cosine_fold
+
+        cos = cosine_fold(F.col("va"), F.col("vb"))
+    else:
+        cos = cosine_similarity(F.col("va"), F.col("vb"))
     return (
         pairs.join(v.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
         .join(v.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
-        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -135,7 +135,8 @@ def _batch_matrix(lists: list, dim: int):
 
 
 def hyperplane_table_buckets_udf(
-    dim: int, planes_per_table: int, num_tables: int, seed: int
+    dim: int, planes_per_table: int, num_tables: int, seed: int,
+    exact: bool = False,
 ):
     """Arrow-vectorized twin of ``hyperplane_table_buckets``: one numpy
     matmul per Arrow batch instead of per-plane higher-order-function loops
@@ -143,12 +144,23 @@ def hyperplane_table_buckets_udf(
     keys up to fp summation order -- a sign can only differ when
     |dot| ~ 1e-13, which seeded gaussian planes never produce in practice.
 
+    ``exact=True`` (r8) removes even that caveat: plane dots are computed
+    as a LEFT FOLD over the dimension axis (see functions.emb_kernels),
+    bit-identical to the sequential summation of the native form and the
+    DuckDB oracle, NaN dots sign as ``>= 0`` true (Spark's NaN ordering),
+    and invalid rows (null / wrong width) produce the all-zeros bit
+    pattern per table exactly as the native ``when(dot >= 0, ...)
+    .otherwise("0")`` law does when nulls null the dot. The oracle-gated
+    queries use this mode; the matmul stays the production default.
+
     This is the hot path at scale (dim 768 x dozens of planes: a (batch x
     dim) @ (dim x planes) matmul); the native-expression twin remains for
     plan-gated tests and UDF-free deployments.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
+
+    from crocodile_spark.functions.emb_kernels import fold_dots
 
     mats = []
     luts = []
@@ -169,7 +181,11 @@ def hyperplane_table_buckets_udf(
         if emb.empty:
             return pd.Series([], dtype=object)
         mask, M = _batch_matrix(emb.tolist(), dim)
-        signs = (M @ allplanes.T) >= 0  # (n_valid, num_tables * ppt)
+        if exact:
+            dots = fold_dots(M, allplanes)
+            signs = (dots >= 0) | np.isnan(dots)
+        else:
+            signs = (M @ allplanes.T) >= 0  # (n_valid, num_tables * ppt)
         cols = []
         for t in range(num_tables):
             seg = signs[:, t * planes_per_table : (t + 1) * planes_per_table]
@@ -179,6 +195,12 @@ def hyperplane_table_buckets_udf(
         valid = np.empty(len(stacked), dtype=object)
         valid[:] = [row for row in stacked]
         out[mask] = valid
+        if exact and not mask.all():
+            # native law: a null/width-mismatched row nulls every dot, and
+            # when(null >= 0).otherwise("0") yields the all-zeros pattern
+            zeros = [lut[0] for lut in luts]
+            for i in np.flatnonzero(~mask):
+                out[i] = list(zeros)
         return pd.Series(list(out))
 
     return buckets
@@ -195,7 +217,7 @@ def lsh_topk(
     num_tables: int = 12,
     seed: int = 42,
     max_bucket_size: int = 4096,
-    arrow: bool = True,
+    arrow: bool | str = True,
     materialize: bool = True,
 ) -> DataFrame:
     """ANN top-k: single-pass random-hyperplane LSH bucket join, exact
@@ -208,7 +230,9 @@ def lsh_topk(
     so the per-table replication never shuffles the embedding payload.
     Recall grows with num_tables; cost is Sum(bucket pair volume), capped.
     ``arrow=True`` computes buckets with the vectorized matmul UDF (the
-    scale path); False uses the native-expression twin.
+    scale path); ``arrow="exact"`` uses the bit-exact fold kernels
+    (oracle-parity Arrow path, r8); False uses the native-expression twin
+    end to end (UDF-free deployments).
     """
     from crocodile_spark.operators.blocking import key_count
 
@@ -216,9 +240,9 @@ def lsh_topk(
     if dim is None:
         raise ValueError("empty corpus")
     if arrow:
-        buckets = hyperplane_table_buckets_udf(dim, num_planes, num_tables, seed)(
-            F.col(emb)
-        )
+        buckets = hyperplane_table_buckets_udf(
+            dim, num_planes, num_tables, seed, exact=(arrow == "exact")
+        )(F.col(emb))
     else:
         buckets = hyperplane_table_buckets(emb, dim, num_planes, num_tables, seed)
 
@@ -242,11 +266,24 @@ def lsh_topk(
     sims = (
         pairs.join(queries.select(F.col(query_id), F.col(emb).alias("_qv")), query_id)
         .join(corpus.select(F.col(corpus_id), F.col(emb).alias("_cv")), corpus_id)
-        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", _exact_cosine(arrow))
         .drop("_qv", "_cv")
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _exact_cosine(arrow):
+    """The in-bucket exact-cosine re-rank column: the bit-exact Arrow fold
+    kernel whenever a Python stage is already in the plan (arrow truthy --
+    the interpreted HOF was the dominant exec cost of the re-rank, guide
+    section 4.2), the native HOF twin for UDF-free plans (arrow=False).
+    Identical values either way (emb_kernels fold law)."""
+    if arrow:
+        from crocodile_spark.functions.emb_kernels import cosine_fold
+
+        return cosine_fold(F.col("_qv"), F.col("_cv"))
+    return cosine_similarity(F.col("_qv"), F.col("_cv"))
 
 
 def seeded_random_centroids(dim: int, n_centroids: int, seed: int):
@@ -333,7 +370,7 @@ def _ivf_cell(emb: str, centroids) -> "F.Column":
     return F.array_max(_ivf_dots_struct(emb, centroids))["cell"]
 
 
-def ivf_probe_cells_udf(centroids, n_probe: int):
+def ivf_probe_cells_udf(centroids, n_probe: int, exact: bool = False):
     """Arrow-vectorized twin of the native IVF cell law (VERDICT r4 #3):
     one numpy matmul per Arrow batch instead of n_centroids plan-literal
     higher-order-function dots (Spark HOFs are CodegenFallback --
@@ -351,9 +388,18 @@ def ivf_probe_cells_udf(centroids, n_probe: int):
     gaussian centroids never produce in practice (same argument as
     hyperplane_table_buckets_udf); the exact-cosine re-rank after the
     bucket join is unaffected either way.
+
+    ``exact=True`` (r8) removes the caveat entirely: dots are computed as
+    a left fold over the dimension axis (functions.emb_kernels.fold_dots),
+    bit-identical to the plan-literal HOF dots and the DuckDB
+    ``list_inner_product`` replay -- the mode the oracle-gated query uses
+    (the HOF form cost ~2 s of plan time + ~3 s interpreted exec at
+    sf0.1; the fold kernel is plan-tiny and batch-vectorized).
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
+
+    from crocodile_spark.functions.emb_kernels import fold_dots
 
     C = np.asarray(centroids, dtype=np.float64)
     n_cells = len(C)
@@ -364,7 +410,7 @@ def ivf_probe_cells_udf(centroids, n_probe: int):
         if emb.empty:
             return pd.Series([], dtype=object)
         mask, M = _batch_matrix(emb.tolist(), C.shape[1])
-        dots = M @ C.T  # (n_valid, n_cells)
+        dots = fold_dots(M, C) if exact else M @ C.T  # (n_valid, n_cells)
         # reverse columns so a stable argsort of -dot puts the LARGER
         # original cell first among equal dots
         order_rev = np.argsort(-dots[:, ::-1], axis=1, kind="stable")
@@ -387,7 +433,7 @@ def ivf_topk(
     query_id: str = "query_id",
     corpus_id: str = "cand_id",
     emb: str = "embedding",
-    arrow: bool = True,
+    arrow: bool | str = True,
 ) -> DataFrame:
     """IVF ANN top-k: corpus rows live in their argmax-dot centroid cell;
     each query probes its ``n_probe`` best cells; exact cosine ranks within
@@ -395,14 +441,18 @@ def ivf_topk(
     scale path -- cost ~ n_probe/n_centroids of brute force.
 
     ``arrow=True`` (default, the scale path) computes cell assignment and
-    probes with one batched numpy matmul (ivf_probe_cells_udf); False
-    keeps the native plan-literal HOF form, used by the driver gate query
-    for exact DuckDB oracle replay -- same split as lsh_topk."""
+    probes with one batched numpy matmul (ivf_probe_cells_udf);
+    ``arrow="exact"`` uses the bit-exact fold kernels -- identical results
+    to the plan-literal HOF form at a fraction of its plan+exec cost, the
+    mode the driver gate query uses for DuckDB oracle replay (r8); False
+    keeps the fully native HOF form for UDF-free deployments -- same
+    split as lsh_topk."""
     from crocodile_spark.operators.blocking import spread
 
     if arrow:
-        assign = ivf_probe_cells_udf(centroids, 1)
-        probe = ivf_probe_cells_udf(centroids, n_probe)
+        exact = arrow == "exact"
+        assign = ivf_probe_cells_udf(centroids, 1, exact=exact)
+        probe = ivf_probe_cells_udf(centroids, n_probe, exact=exact)
         cb = spread(corpus).select(
             F.col(corpus_id),
             F.element_at(assign(F.col(emb)), 1).cast("int").alias("cell"),
@@ -429,7 +479,7 @@ def ivf_topk(
     sims = (
         pairs.join(queries.select(F.col(query_id), F.col(emb).alias("_qv")), query_id)
         .join(corpus.select(F.col(corpus_id), F.col(emb).alias("_cv")), corpus_id)
-        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", _exact_cosine(arrow))
         .drop("_qv", "_cv")
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))

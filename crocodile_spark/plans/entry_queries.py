@@ -838,7 +838,16 @@ FROM documents
 
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query vector (ANN baseline) over the
-    embeddings table; deterministic tie-break by candidate id."""
+    embeddings table; deterministic tie-break by candidate id.
+
+    r8: the cosine runs through the bit-exact Arrow fold kernel
+    (functions.emb_kernels.cosine_fold) -- same left-fold summation order
+    as the interpreted HOF twin and DuckDB's list_cosine_similarity, so
+    values are bit-identical, but the O(QxN) sweep is batch-vectorized
+    instead of interpreted per pair (guide section 4.2; the HOF was 4.4 s
+    of this query's 4.5 s exec at sf0.1)."""
+    from crocodile_spark.functions.emb_kernels import cosine_fold
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -850,7 +859,7 @@ def q_cosine_topk(spark, sf_dir):
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(cosine_fold(F.col("qv"), F.col("cv")), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
@@ -1489,11 +1498,12 @@ def q_ann_lsh_cosine(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
-    # arrow=False: the native-expression buckets reproduce the oracle's
-    # sequential dot-product summation exactly (the Arrow matmul twin is
-    # the bench/production path; a near-orthogonal vector could flip one
-    # sign bit between numpy's pairwise and DuckDB's sequential sums)
-    return lsh_topk(q, c, k=5, arrow=False).select(
+    # arrow="exact" (r8): the bit-exact fold kernels reproduce the
+    # oracle's sequential dot-product summation bit-for-bit (same
+    # left-fold op order as the retired native-HOF path, emb_kernels),
+    # with none of the pairwise-vs-sequential sign-flip caveat of the
+    # matmul twin -- and none of the HOF form's interpreted per-row cost
+    return lsh_topk(q, c, k=5, arrow="exact").select(
         "query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 
@@ -1556,11 +1566,13 @@ def q_ivf_ann_cosine(spark, sf_dir):
     )
     c = e.select(F.col("vec_id").alias("cand_id"), "embedding")
     cents = seeded_random_centroids(64, 16, 7)
-    # arrow=False: the native plan-literal dots replay exactly in DuckDB
-    # (list_inner_product, same summation order); the Arrow matmul twin is
-    # the production default and is timed separately in bench.py
+    # arrow="exact" (r8): fold-kernel dots replay DuckDB's
+    # list_inner_product bit-for-bit (same left-fold summation order as
+    # the retired plan-literal HOF form, whose 16x64 literal tree cost
+    # ~2 s plan + ~3 s interpreted exec per run); the Arrow matmul twin
+    # is the production default and is timed separately in bench.py
     # (ivf_ann_arrow), same split as ann_lsh_cosine / ann_lsh_arrow.
-    return ivf_topk(q, c, cents, k=5, n_probe=4, arrow=False).select(
+    return ivf_topk(q, c, cents, k=5, n_probe=4, arrow="exact").select(
         "query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 
@@ -1624,8 +1636,9 @@ def q_embedding_near_dup(spark, sf_dir):
         ),
     )
     corp = base.unionByName(pert)
-    # arrow=False for exact summation-order parity with the oracle
-    pairs = embedding_near_dup_pairs(corp, threshold=0.98, num_tables=6, arrow=False)
+    # arrow="exact" (r8) keeps summation-order parity with the oracle
+    # (bit-exact fold kernels) without the interpreted-HOF cost
+    pairs = embedding_near_dup_pairs(corp, threshold=0.98, num_tables=6, arrow="exact")
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -75,3 +75,59 @@ def test_cosine_similarity(spark):
     assert abs(got - 3 / 5) < 1e-12
     z = F.array(F.lit(0.0), F.lit(0.0))
     assert _one(spark, cosine_similarity(a, z)) == 0.0
+
+def test_cosine_fold_kernel_bit_exact_vs_hof(spark):
+    """r8: the Arrow fold kernel (emb_kernels.cosine_fold) must be
+    BIT-IDENTICAL to the interpreted HOF law on every input class --
+    clean vectors (float32 and float64), null arrays, zero norms, width
+    mismatches (NULL law), and NaN poisoning (NaN law, reconstructed
+    natively from the isnan flag because pandas->Arrow maps NaN to null).
+    """
+    import math
+    import random
+
+    from crocodile_spark.functions.emb_kernels import cosine_fold
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(800):
+        d = rng.choice([1, 2, 16, 64])
+        a = [rng.uniform(-5, 5) for _ in range(d)]
+        b = [rng.uniform(-5, 5) for _ in range(d)]
+        k = rng.random()
+        if k < 0.05:
+            a = None
+        elif k < 0.10:
+            b = [0.0] * d
+        elif k < 0.15:
+            b = a[: max(1, d // 2)] if d > 1 else a + [1.0]
+        elif k < 0.20:
+            a = [float("nan")] + a[1:]
+        elif k < 0.25:
+            a = [0.0] * d
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    got = df.select(
+        cosine_fold(F.col("a"), F.col("b")).alias("k"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("h"),
+    ).collect()
+
+    def same(x, y):
+        if x is None or y is None:
+            return x is None and y is None
+        return x == y or (math.isnan(x) and math.isnan(y))
+
+    assert all(same(r["k"], r["h"]) for r in got)
+
+    # float32 embeddings (the parquet layout) hit the matrix fast path
+    rows32 = [
+        ([rng.uniform(-2, 2) for _ in range(64)],
+         [rng.uniform(-2, 2) for _ in range(64)])
+        for _ in range(200)
+    ]
+    df32 = spark.createDataFrame(rows32, "a array<float>, b array<float>")
+    got32 = df32.select(
+        cosine_fold(F.col("a"), F.col("b")).alias("k"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("h"),
+    ).collect()
+    assert all(r["k"] == r["h"] for r in got32)

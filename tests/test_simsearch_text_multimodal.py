@@ -270,6 +270,12 @@ def test_ivf_arrow_and_native_paths_agree(spark, embeddings):
         # exact set equality both directions (rank included)
         assert native.select(cols).exceptAll(arrow.select(cols)).count() == 0
         assert arrow.select(cols).exceptAll(native.select(cols)).count() == 0
+        # r8: the fold-kernel mode must match the native HOF form
+        # INCLUDING the cosine values, not just ranks (bit-exact law)
+        exact = ivf_topk(q, c, cents, k=5, n_probe=4, arrow="exact")
+        vcols = cols + ["cosine"]
+        assert native.select(vcols).exceptAll(exact.select(vcols)).count() == 0
+        assert exact.select(vcols).exceptAll(native.select(vcols)).count() == 0
 
 
 def test_media_header_parser_properties():
