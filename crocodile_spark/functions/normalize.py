@@ -91,18 +91,25 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """F5: distinct character n-grams (default n=3) of a string.
 
     ``string[i:i+n]`` sliding window; strings shorter than n yield an empty
-    array (matching the reference, whose loop body never executes).
+    array (matching the reference, whose loop body never executes); null
+    input also yields an empty array (the historical law).
+
+    r8: computed with ONE pass of ``regexp_extract_all`` over an
+    overlapping lookahead pattern ``(?s)(?=(.{n})).`` instead of a
+    ``transform(sequence(...), substr)`` higher-order function -- HOFs are
+    CodegenFallback (interpreted per element), and this construction sat
+    on every n-gram consumer's hot path (pair features, MinHash shingles,
+    fingerprints: ~3.7 s vs 0.5 s for one pass over sf0.1 documents).
+    Identical output order and content: the regex matches at each char
+    position with >= n chars remaining, exactly the sliding window
+    (``(?s)`` makes ``.`` cross newlines; Java regex and Spark substr both
+    count code points, fuzz-verified on astral-plane input).
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    return F.array_distinct(
-        F.when(
-            F.length(c) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.length(c) - (n - 1)),
-                lambda i: c.substr(i, F.lit(n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    grams = F.array_distinct(
+        F.regexp_extract_all(c, F.lit(f"(?s)(?=(.{{{n}}}))."), 1)
     )
+    return F.coalesce(grams, F.array().cast("array<string>"))
 
 
 def qid_from_url(col: Column | str) -> Column:

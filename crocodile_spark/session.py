@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import SparkSession
 
 
@@ -72,4 +74,35 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _prewarm_python_workers(spark)
     return spark
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Fork the Python UDF daemon + one worker per task slot at session
+    build, so the FIRST pandas-UDF query does not pay the fork/import cost
+    (pyarrow+pandas import is ~1-2 s across a 32-slot local master). The
+    production analog is executor warmup; workers are reused afterwards
+    (spark.python.worker.reuse default). Guarded by
+    ``spark.croco.prewarmPython`` (default true); failures are benign --
+    the first real UDF job simply pays the fork as before."""
+    try:
+        if (
+            str(spark.conf.get("spark.croco.prewarmPython", "true")).lower()
+            != "true"
+        ):
+            return
+        import pandas as _pd  # noqa: F401  (driver side, already imported)
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        @F.pandas_udf(T.LongType())
+        def _noop(x: pd.Series) -> pd.Series:
+            return x
+
+        n = spark.sparkContext.defaultParallelism
+        spark.range(0, n, 1, n).select(_noop("id")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass  # warmup must never break session creation

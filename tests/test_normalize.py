@@ -75,6 +75,42 @@ def test_char_ngrams(spark):
     assert _one(spark, char_ngrams(F.lit("aaaa"))) == ["aaa"]  # distinct
 
 
+def test_char_ngrams_regex_matches_sliding_window_law(spark):
+    """r8: char_ngrams switched from a transform/substr HOF to one
+    regexp_extract_all pass; the frozen F5 law (sliding window, distinct,
+    first-occurrence order, shorter-than-n and NULL -> empty array) must
+    hold bit-for-bit, including newlines (?s), astral-plane code points,
+    and regex metacharacters in the DATA (the pattern is fixed)."""
+    import random
+
+    def old_law(col, n=3):
+        c = col.cast("string")
+        return F.array_distinct(
+            F.when(
+                F.length(c) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(c) - (n - 1)),
+                    lambda i: c.substr(i, F.lit(n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    alphabet = "ab c\nd\t€日本語🎉👍x1_ÀÖ'\"\\.*+?[](){}|^$"
+    rng = random.Random(11)
+    rows = [
+        ("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))),)
+        for _ in range(500)
+    ]
+    rows += [("",), (None,), ("🎉🎉🎉🎉",), ("a🎉b\nc",)]
+    df = spark.createDataFrame(rows, "t string")
+    for n in (1, 3, 5):
+        got = df.select(
+            char_ngrams(F.col("t"), n).alias("a"),
+            old_law(F.col("t"), n).alias("b"),
+        ).collect()
+        assert all(r["a"] == r["b"] for r in got), n
+
+
 def test_qid_from_url(spark):
     got = _one(spark, qid_from_url(F.lit("http://www.wikidata.org/entity/Q42")))
     assert got == "Q42"
