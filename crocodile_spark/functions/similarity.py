@@ -36,9 +36,28 @@ def token_jaccard(a: Column | str, b: Column | str) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def set_jaccard(a: Column | str, b: Column | str) -> Column:
+    """token_jaccard specialization for arrays that are DISTINCT by
+    construction (tokenize / char_ngrams / collect_set outputs): the union
+    size is computed arithmetically as |A| + |B| - |A intersect B| instead
+    of building a second hash set per row with ``array_union`` (r8: the
+    exact-Jaccard verify over MinHash candidates dropped 2.8 s -> 0.9 s at
+    sf0.1). Identical values and null/empty law: Spark's array_intersect
+    returns the distinct intersection, so for distinct inputs the identity
+    is exact; null arrays null the union expression -> 0.0, as before.
+    Callers whose arrays may contain duplicates must use token_jaccard."""
+    a, b = _col(a), _col(b)
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a).cast("double") + F.size(b).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 def ngram_jaccard(a: Column | str, b: Column | str, n: int = 3) -> Column:
-    """F7: Jaccard over distinct char n-grams of two *strings*."""
-    return token_jaccard(char_ngrams(_col(a), n), char_ngrams(_col(b), n))
+    """F7: Jaccard over distinct char n-grams of two *strings*.
+
+    char_ngrams outputs are distinct by construction, so the set_jaccard
+    size-arithmetic union applies (one set op per pair instead of two)."""
+    return set_jaccard(char_ngrams(_col(a), n), char_ngrams(_col(b), n))
 
 
 def levenshtein_similarity(a: Column | str, b: Column | str) -> Column:

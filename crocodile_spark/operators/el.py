@@ -29,7 +29,7 @@ from crocodile_spark.functions.normalize import (
 from crocodile_spark.functions.similarity import (
     levenshtein_similarity,
     ngram_jaccard,
-    token_jaccard,
+    set_jaccard,
 )
 
 # F8: candidate kind -> numeric (crocodile/feature.py:66-73; default 1)
@@ -323,11 +323,11 @@ def compute_features(
         .withColumn("length_entity", F.length(name).cast("double"))
         .withColumn("popularity", F.coalesce(F.col("popularity"), F.lit(0.0)))
         .withColumn("ed_score", levenshtein_similarity(mention, name))
-        .withColumn("jaccard_score", token_jaccard(mention_toks, name_toks))
+        .withColumn("jaccard_score", set_jaccard(mention_toks, name_toks))
         .withColumn("jaccardNgram_score", ngram_jaccard(mention, name))
-        .withColumn("desc", token_jaccard(row_toks, desc_toks))
+        .withColumn("desc", set_jaccard(row_toks, desc_toks))
         .withColumn("descNgram", ngram_jaccard(mention, desc))
-        .withColumn("bow_similarity", token_jaccard(row_toks, entity_text_toks))
+        .withColumn("bow_similarity", set_jaccard(row_toks, entity_text_toks))
         .withColumn("kind", _map_expr(KIND_MAP, F.col("kind"), 1).cast("double"))
         .withColumn(
             "NERtype", _map_expr(NERTYPE_MAP, F.col("nertype"), 4).cast("double")

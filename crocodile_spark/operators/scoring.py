@@ -25,7 +25,7 @@ from crocodile_spark.functions.similarity import (
     levenshtein_similarity,
     monge_elkan_lev,
     ngram_jaccard,
-    token_jaccard,
+    set_jaccard,
 )
 
 # ed/jaccard/jaccardNgram/desc are the reference's X1 slots; me_score is the
@@ -143,7 +143,8 @@ def attach_pair_features(
         )
         .withColumn(
             "jaccard_score",
-            token_jaccard(F.col("sig_tokens_a"), F.col("sig_tokens_b")),
+            # sig_tokens come from collect_set: distinct -> set_jaccard law
+            set_jaccard(F.col("sig_tokens_a"), F.col("sig_tokens_b")),
         )
         .withColumn(
             "jaccardNgram_score",
@@ -151,7 +152,7 @@ def attach_pair_features(
         )
         # 'desc' slot: full-token-set overlap = context similarity, the
         # in-engine analog of the BoW feature (X2, processors.py:285-292)
-        .withColumn("desc", token_jaccard(F.col("tokens_a"), F.col("tokens_b")))
+        .withColumn("desc", set_jaccard(F.col("tokens_a"), F.col("tokens_b")))
         .withColumn(
             "me_score", monge_elkan_lev(F.col("sig_tokens_a"), F.col("sig_tokens_b"))
         )

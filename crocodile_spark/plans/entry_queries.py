@@ -28,6 +28,7 @@ from crocodile_spark.functions.similarity import (
     cosine_similarity,
     levenshtein_similarity,
     ngram_jaccard,
+    set_jaccard,
     token_jaccard,
 )
 
@@ -181,7 +182,7 @@ def _pair_features(spark, sf_dir) -> DataFrame:
         "doc_id_a",
         "doc_id_b",
         "source",
-        F.round(token_jaccard(F.col("ka"), F.col("kb")), 6).alias("jaccard_score"),
+        F.round(set_jaccard(F.col("ka"), F.col("kb")), 6).alias("jaccard_score"),
         F.round(ngram_jaccard(F.col("ta"), F.col("tb")), 6).alias("jaccardNgram_score"),
         F.round(levenshtein_similarity(F.col("ta"), F.col("tb")), 6).alias("ed_score"),
         # normalized texts ride along for consumers adding string features
