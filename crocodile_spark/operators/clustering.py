@@ -39,19 +39,27 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node n: link every strictly-larger neighbor to
-    min(neighborhood + self)."""
+    min(neighborhood + self).
+
+    r8: the output is NOT deduplicated here -- it is already canonically
+    oriented by construction (u = v > m = v's neighborhood min), and the
+    following ``_small_star`` ends in ``_canon`` anyway, so the extra
+    distinct was one full exchange per round for nothing. Duplicate
+    (v, m) rows are bounded by the input edge count (each input edge
+    emits at most one row), collapse map-side in small-star's min
+    aggregation, and are removed by its closing distinct -- assignments
+    are identical (A/B-verified), one exchange per round cheaper."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         sym.groupBy("u")
         .agg(F.min("v").alias("_minv"))
         .select("u", F.least(F.col("u"), F.col("_minv")).alias("m"))
     )
-    out = (
+    return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    return _canon(out)
 
 
 def _small_star(edges: DataFrame) -> DataFrame:

@@ -201,13 +201,23 @@ def minhash_lsh_pairs(
     # (explicit partition count -- a bare column repartition is itself
     # AQE-coalescible and collapses back to one task)
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    verified = (
+    scored = (
         joined.repartition(n_part, "id_a", "id_b")
-        .withColumn("jaccard", set_jaccard(F.col("ga"), F.col("gb")))
+        .select(
+            "id_a", "id_b", set_jaccard(F.col("ga"), F.col("gb")).alias("jaccard")
+        )
+        # single-evaluation barrier (r8): a threshold filter directly above
+        # the projection is pushed below it, substituting the whole
+        # array-intersect expression into the condition -- every candidate
+        # pair then pays the set ops TWICE (filter + project). The lazy
+        # checkpoint of the 3-scalar-per-pair projection (ids + jaccard,
+        # grams already dropped) cuts the plan so the verify runs once;
+        # the materialized rows are trivial at any scale relative to the
+        # gram arrays the stage already holds.
+        .localCheckpoint(eager=False)
         .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    return scored
 
 
 def _simhash_fold_udf(bits: int):
@@ -366,9 +376,12 @@ def ngram_jaccard_pairs(
     return (
         a.join(b, block_cols)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", set_jaccard(F.col("ga"), F.col("gb")))
+        .select(
+            "id_a", "id_b", set_jaccard(F.col("ga"), F.col("gb")).alias("jaccard")
+        )
+        # single-evaluation barrier: see minhash_lsh_pairs
+        .localCheckpoint(eager=False)
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -595,10 +595,17 @@ FROM planted GROUP BY 1 HAVING count(*) > 1
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by char-3-gram Jaccard >= 0.5 within source blocks
-    (n-gram Jaccard dedup for training corpora)."""
+    (n-gram Jaccard dedup for training corpora).
+
+    r8: projected to the 3 output columns and lazily checkpointed BEFORE
+    the threshold filter -- otherwise the filter is pushed below the
+    feature projection and every pair evaluates the full char-ngram
+    Jaccard expression twice (filter + project)."""
     f = _pair_features(spark, sf_dir)
-    return f.where(F.col("jaccardNgram_score") >= 0.5).select(
-        "doc_id_a", "doc_id_b", "jaccardNgram_score"
+    return (
+        f.select("doc_id_a", "doc_id_b", "jaccardNgram_score")
+        .localCheckpoint(eager=False)
+        .where(F.col("jaccardNgram_score") >= 0.5)
     )
 
 
