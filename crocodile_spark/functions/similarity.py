@@ -174,6 +174,14 @@ def monge_elkan_lev(a: Column | str, b: Column | str) -> Column:
     ``levenshtein``): no Python in the hot path, unlike the Jaro-Winkler
     variant. Token arrays are small (mention signatures), so the
     |A| x |B| inner loop is cheap and codegen-friendly.
+
+    r8: the |A| x |B| similarity matrix is built ONCE and both directions
+    read it -- lev_sim is exactly symmetric (levenshtein and greatest of
+    lengths both are), so one_way(b, a)'s inner maxima are the COLUMN
+    maxima of the same matrix. The previous form evaluated every
+    levenshtein twice (once per direction); values are bit-identical
+    (same element order in both direction sums: row maxes summed in a's
+    order, column maxes in b's order, exactly as before).
     """
     a, b = _col(a), _col(b)
 
@@ -183,16 +191,24 @@ def monge_elkan_lev(a: Column | str, b: Column | str) -> Column:
             mx > 0, 1.0 - F.levenshtein(x, y).cast("double") / mx
         ).otherwise(F.lit(1.0))
 
-    def one_way(src: Column, dst: Column) -> Column:
-        total = F.aggregate(
-            src,
-            F.lit(0.0),
-            lambda acc, s: acc
-            + F.array_max(F.transform(dst, lambda d: lev_sim(s, d))),
-        )
-        return total / F.size(src)
-
-    both = F.greatest(one_way(a, b), one_way(b, a))
+    # M[i][j] = lev_sim(a[i], b[j]), evaluated once per pair
+    m = F.transform(a, lambda s: F.transform(b, lambda d: lev_sim(s, d)))
+    # direction a->b: mean over rows of the row max
+    ab = (
+        F.aggregate(m, F.lit(0.0), lambda acc, row: acc + F.array_max(row))
+        / F.size(a)
+    )
+    # direction b->a: mean over columns of the column max (elementwise
+    # running max across rows; lev_sim >= 0 so the zero init is neutral)
+    colmax = F.aggregate(
+        m,
+        F.transform(b, lambda _: F.lit(0.0)),
+        lambda acc, row: F.zip_with(acc, row, lambda x, y: F.greatest(x, y)),
+    )
+    ba = (
+        F.aggregate(colmax, F.lit(0.0), lambda acc, x: acc + x) / F.size(b)
+    )
+    both = F.greatest(ab, ba)
     return F.when((F.size(a) > 0) & (F.size(b) > 0), both).otherwise(F.lit(0.0))
 
 

@@ -94,11 +94,14 @@ def _cc_loop(
     if pre_canonical:
         e = edges
     else:
-        e = _canon(edges).localCheckpoint(eager=True)
+        e = _canon(edges).localCheckpoint(eager=False)
     if prev is None:
         prev = _checksum(e)
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint + checksum = ONE job per round: the checksum scan
+        # materializes the checkpoint as it runs (r8; eager=True spent a
+        # separate materialization job per round before the checksum job)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             break
@@ -144,7 +147,7 @@ def connected_components(
     over dictionary-encoded longs and decode afterwards; the returned
     cluster_id is the min member in the ORIGINAL id space either way, so
     callers and oracles see identical output at any threshold."""
-    e = _canon(edges).localCheckpoint(eager=True)
+    e = _canon(edges).localCheckpoint(eager=False)  # materialized by _checksum
     chk = _checksum(e)
     if encode_ids is None:
         encode_ids = (

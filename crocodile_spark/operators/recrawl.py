@@ -90,12 +90,18 @@ class RecrawlOutput:
     n_records: int | None = None  # corpus size after the upsert
     edges: DataFrame | None = None  # updated accepted-edge state (when existing_edges given)
     stage_stats: dict = field(default_factory=dict)
+    # internal batch-scale frames persisted by recrawl_upsert (norm,
+    # stored_hits) that no output field exposes -- tracked so unpersist()
+    # releases them (r8, ADVICE: a per-batch loop otherwise accumulates
+    # cached blocks across invocations)
+    aux_persisted: tuple = ()
 
     def unpersist(self) -> None:
         """Release persisted frames (same lifetime contract as
         :class:`IncrementalOutput`); checkpointed frames are freed by the
         ContextCleaner."""
         frames = [self.delta_records, self.updated_urls, self.signatures]
+        frames.extend(self.aux_persisted)
         frames.extend(getattr(self.signatures, "_inc_persisted", ()))
         for df in frames:
             if df is not None:
@@ -329,6 +335,7 @@ def recrawl_upsert(
         signatures=sigs,
         n_records=n_after,
         edges=out_edges,
+        aux_persisted=(norm, stored_hits),
         stage_stats={
             "n_batch": n_batch,
             "n_new_or_updated": n_delta,

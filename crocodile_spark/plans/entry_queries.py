@@ -313,10 +313,19 @@ def q_a1_type_frequency(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     top3 = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
     per_user_types = top3.select("user_id", "event_type").distinct()
-    n_users = e.select("user_id").distinct().count()
+    # r8: the user total joins the plan as a broadcast 1-row aggregate
+    # instead of a driver-side .count() during query construction (one
+    # job instead of two; value law identical -- the long count casts to
+    # double exactly, as the old float() literal did)
+    totals = e.agg(F.countDistinct("user_id").alias("_n_users"))
     return (
         per_user_types.groupBy("event_type")
-        .agg(F.round(F.count(F.lit(1)) / F.lit(float(n_users)), 6).alias("freq"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(totals))
+        .select(
+            "event_type",
+            F.round(F.col("_c") / F.col("_n_users").cast("double"), 6).alias("freq"),
+        )
     )
 
 

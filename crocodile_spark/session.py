@@ -104,5 +104,17 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
         spark.range(0, n, 1, n).select(_noop("id")).write.format("noop").mode(
             "overwrite"
         ).save()
+        # touch the parquet reader+writer once: Hadoop FS / parquet-mr
+        # class-init otherwise lands on the session's FIRST real parquet
+        # query (~0.8 s, measured). Session-private path, removed after.
+        import shutil
+        import tempfile
+
+        pq = tempfile.mkdtemp(prefix="croco_pq_warm_")
+        try:
+            spark.range(1).write.mode("overwrite").parquet(pq)
+            spark.read.parquet(pq).collect()
+        finally:
+            shutil.rmtree(pq, ignore_errors=True)
     except Exception:
         pass  # warmup must never break session creation

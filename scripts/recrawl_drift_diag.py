@@ -149,9 +149,12 @@ def main() -> None:
     full_keys = token_keys(full.signatures).unionByName(
         static_keys(full.signatures, cfg)
     ).persist()
+    # MinHash band keys are formatted "mh<band>:<hash>" (blocking.band_keys
+    # uses F.lit(f"mh{b}:")) -- match the numbered prefix (ADVICE r7: a
+    # bare "mh:" prefix never matched, binning every band key as "other")
     fam = F.when(F.col("key").startswith("tok:"), "tok").otherwise(
         F.when(F.col("key").startswith("host:"), "host").otherwise(
-            F.when(F.col("key").startswith("mh:"), "mh").otherwise("other")
+            F.when(F.col("key").rlike("^mh[0-9]+:"), "mh").otherwise("other")
         )
     )
     ka = full_keys.select(F.col("url").alias("url_a"), "key")
