@@ -156,6 +156,12 @@ def _pair_features(spark, sf_dir) -> DataFrame:
         F.lower(F.col("text")).alias("t"),
         tokenize(F.col("text")).alias("toks"),
     )
+    # r8: materialize the doc projection ONCE -- the self-join otherwise
+    # recomputes lower+tokenize per side, and the broadcast-hash build of
+    # the b side ran it single-threaded on the driver path (1.6 s of the
+    # query's 4.5 s; 4.0 -> 1.3 s cold for the feature frame, A/B'd).
+    # Same multi-consumer-materialization idiom as minhash signatures.
+    d = d.localCheckpoint(eager=True)
     a = d.select(
         F.col("doc_id").alias("doc_id_a"),
         "source",
