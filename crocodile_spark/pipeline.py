@@ -76,26 +76,33 @@ def run_pipeline(
             if st.recomputed_buckets is not None:
                 stats[st.name]["recomputed_buckets"] = st.recomputed_buckets
     else:
-        # every intermediate feeds >=2 downstream consumers: persist all.
-        # records and sigs are additionally materialized EAGERLY (count())
-        # before their fan-out consumers run: the pair-generation job scans
-        # sigs ~4x (token/host/minhash key families + exact-dup stars) and
-        # the signature job scans records ~3x (token explode, DF join-back,
-        # final re-join); a lazy persist lets those same-job scans race on
-        # the unpopulated cache and recompute the full lineage per branch
-        # (r6 A/B: this, not the r5 signature law itself, was the
-        # er_pipeline 9->12.5 s regression -- with eager materialization
-        # the two laws time within noise of each other, scripts/
-        # sig_law_ab.py). One extra narrow pass per stage is the price;
-        # at cluster scale it is a cache write, not a shuffle.
-        records = normalize_pages(web_pages, use_html).persist()
-        records.count()
-        sigs, pairs = block(records, cfg)
-        sigs = sigs.persist()
-        sigs.count()
-        pairs = pairs.persist()
-        scored = score(pairs, sigs, cfg)
-        scored = scored.persist()
+        # every intermediate feeds >=2 downstream consumers: materialize
+        # each EAGERLY before its fan-out consumers run -- the
+        # pair-generation job scans sigs ~4x (token/host/minhash key
+        # families + exact-dup stars) and the signature job scans records
+        # ~3x (token explode, DF join-back, final re-join); lazy caching
+        # lets those same-job scans race on the unpopulated cache and
+        # recompute the full lineage per branch (r6 A/B: this, not the r5
+        # signature law itself, was the er_pipeline 9->12.5 s regression).
+        #
+        # r8: the eager materialization is localCheckpoint(eager=True)
+        # rather than persist()+count(): same race-free cache, and it also
+        # TRUNCATES the logical plan, so AQE's per-stage re-optimization of
+        # every downstream query (and each CC round) no longer re-walks the
+        # whole normalize->block->score lineage -- two ~2.5 s driver-side
+        # planning gaps measured at sf0.1 came from exactly that
+        # (matched-pair A/B: ~2-4 s faster cold, clusters byte-identical).
+        # Trade-off, documented: a checkpointed partition lost with its
+        # executor cannot be recomputed from lineage -- this ephemeral path
+        # is the dev/bench mode; production resilience is the Lakehouse
+        # checkpoint branch above (stage-level resume + lineage), exactly
+        # as the minhash signature materialization already documents.
+        from crocodile_spark.operators.blocking import mention_signatures
+
+        records = normalize_pages(web_pages, use_html).localCheckpoint(eager=True)
+        sigs = mention_signatures(records, cfg).localCheckpoint(eager=True)
+        pairs = _pairs_from_sigs(sigs, cfg).localCheckpoint(eager=True)
+        scored = score(pairs, sigs, cfg).localCheckpoint(eager=True)
         clusters = cluster_records(records, scored, max_iterations=cfg.max_cc_iterations)
 
     return PipelineOutput(records, sigs, pairs, scored, clusters, stats)
